@@ -1,0 +1,190 @@
+"""Env core semantics tests: reset distributions, step reward/termination
+(reference gym_env.py:319-437), batched auto-reset."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchdriveenv_tpu.config import EnvConfig
+from torchdriveenv_tpu.env import core
+from torchdriveenv_tpu.env.batched import BatchedEnv
+from torchdriveenv_tpu.maps.arrays import sample_sdf
+
+
+def _cfg(**kw):
+    return EnvConfig(**kw)
+
+
+class TestReset:
+    def test_ego_only(self, assets_val, key):
+        cfg = _cfg(ego_only=True)
+        st = jax.jit(functools.partial(core.reset, cfg, assets_val))(key)
+        assert bool(st.present[0])
+        assert int(st.present.sum()) == 1
+        # ego attrs in the randomized ranges (reference gym_env.py:194-196)
+        L, W, lr = np.asarray(st.agent_attrs[0])
+        assert 4.8 <= L <= 5.5 and 1.8 <= W <= 2.2 and 0.82 <= lr <= 0.97
+        assert int(st.target_idx) == 1
+        assert int(st.step_idx) == 0
+
+    def test_start_distributions(self, assets_val):
+        cfg = _cfg(ego_only=True)
+        reset = jax.jit(jax.vmap(functools.partial(core.reset, cfg, assets_val)))
+        keys = jax.random.split(jax.random.PRNGKey(1), 256)
+        st = reset(keys)
+        speeds = np.asarray(st.agent_states[:, 0, 3])
+        assert speeds.min() >= 0.0 and speeds.max() <= 10.0
+        assert 3.0 < speeds.mean() < 7.0  # U(0,10)
+        # start point lies on the wp0->wp1 segment
+        wps = np.asarray(assets_val.suite.waypoints)[np.asarray(st.case)]
+        p = np.asarray(st.agent_states[:, 0, :2])
+        d01 = wps[:, 1] - wps[:, 0]
+        t = np.einsum("bd,bd->b", p - wps[:, 0], d01) / np.einsum("bd,bd->b", d01, d01)
+        cross = np.abs(np.cross(d01, p - wps[:, 0])) / np.linalg.norm(d01, axis=-1)
+        assert t.min() >= -1e-4 and t.max() <= 1 + 1e-4
+        assert cross.max() < 1e-3
+        # all 5 validation cases get sampled
+        assert set(np.asarray(st.case).tolist()) == set(range(5))
+
+    def test_traffic_mode_population(self, assets_val, key):
+        cfg = _cfg()
+        st = jax.jit(functools.partial(core.reset, cfg, assets_val))(key)
+        n = int(st.present.sum())
+        assert n > 10, "traffic mode should populate the scene"
+        # no immediate ego collision with spawned traffic
+        from torchdriveenv_tpu.ops.collision import ego_collision
+        col = ego_collision(st.agent_states, st.agent_attrs[:, :2], st.present)
+        assert float(col) == 0.0
+        # spawned/background agents sit on the road
+        sdf = sample_sdf(assets_val.maps, st.town, st.agent_states[:, :2])
+        on_road = np.asarray(sdf > 0) | ~np.asarray(st.present)
+        frac = on_road.mean()
+        assert frac > 0.95, f"agents offroad after reset: {1 - frac:.2%}"
+
+    def test_scenario_agents_present(self, assets_val):
+        cfg = _cfg()
+        reset = jax.jit(jax.vmap(functools.partial(core.reset, cfg, assets_val)))
+        st = reset(jax.random.split(jax.random.PRNGKey(2), 64))
+        cases = np.asarray(st.case)
+        scen_mask = np.asarray(assets_val.suite.scen_mask)[cases]
+        present_scen = np.asarray(st.present[:, 1:1 + scen_mask.shape[1]])
+        np.testing.assert_array_equal(present_scen, scen_mask)
+
+
+class TestStepSemantics:
+    def _mk(self, assets, **kw):
+        cfg = _cfg(**kw)
+        reset = jax.jit(functools.partial(core.reset, cfg, assets))
+        step = jax.jit(functools.partial(core.step, cfg, assets))
+        return cfg, reset, step
+
+    def test_distance_reward(self, assets_val, key):
+        cfg, reset, step = self._mk(assets_val, ego_only=True,
+                                    terminated_at_infraction=False)
+        st = reset(key)
+        # force a known state: 6 m/s straight
+        s = st.agent_states.at[0, 3].set(6.0)
+        st = st.replace(agent_states=s)
+        _, reward, term, trunc, info = step(st, jnp.array([0.0, 0.0]))
+        # moved 0.6 m > cutoff 0.5 -> distance_bonus 1; no heading change
+        assert float(info["dist_reward"]) == 1.0
+        assert float(info["psi_reward"]) == 0.0
+        assert float(reward) in (1.0, 101.0)  # +100 if it happens to reach a target
+
+    def test_heading_penalty(self, assets_val, key):
+        cfg, reset, step = self._mk(assets_val, ego_only=True,
+                                    terminated_at_infraction=False)
+        st = reset(key)
+        s = st.agent_states.at[0, 3].set(8.0)
+        st = st.replace(agent_states=s)
+        _, reward, _, _, info = step(st, jnp.array([0.0, 0.3]))
+        psi0 = float(s[0, 2])
+        beta = np.arctan(np.tan(0.3) / 2)
+        lr = float(st.agent_attrs[0, 2])
+        dpsi = 8.0 * np.sin(beta) / lr * 0.1
+        expected = (1 - np.cos(dpsi)) * (-25.0)
+        np.testing.assert_allclose(float(info["psi_reward"]), expected, rtol=1e-4)
+        np.testing.assert_allclose(float(info["psi_smoothness"]), abs(dpsi) / 0.1, rtol=1e-4)
+        del psi0
+
+    def test_waypoint_bonus_and_advance(self, assets_val, key):
+        cfg, reset, step = self._mk(assets_val, ego_only=True,
+                                    terminated_at_infraction=False)
+        st = reset(key)
+        # teleport ego right next to the current target, heading at it
+        tgt = assets_val.suite.waypoints[st.case][1]
+        s = st.agent_states.at[0, :2].set(tgt + 2.0).at[0, 3].set(0.0)
+        st = st.replace(agent_states=s)
+        _, reward, _, _, info = step(st, jnp.array([0.0, 0.0]))
+        assert float(reward) == 100.0  # waypoint_bonus, no movement bonus
+        assert int(info["reached_waypoint_num"]) == 1
+
+    def test_truncation_at_200(self, assets_val, key):
+        cfg, reset, step = self._mk(assets_val, ego_only=True,
+                                    terminated_at_infraction=False)
+        st = reset(key)
+        st = st.replace(step_idx=jnp.int32(199))
+        _, _, term, trunc, info = step(st, jnp.zeros(2))
+        assert bool(trunc) and bool(info["is_success"])
+
+    def test_offroad_termination(self, assets_val, key):
+        cfg, reset, step = self._mk(assets_val, ego_only=True)
+        st = reset(key)
+        # teleport far off the map content
+        s = st.agent_states.at[0, :2].set(jnp.array([-10000.0, -10000.0]))
+        st = st.replace(agent_states=s)
+        _, _, term, _, info = step(st, jnp.zeros(2))
+        assert bool(term) and float(info["offroad"]) > 0
+
+    def test_action_clipping(self, assets_val, key):
+        cfg, reset, step = self._mk(assets_val, ego_only=True,
+                                    terminated_at_infraction=False)
+        st = reset(key)
+        s = st.agent_states.at[0, 3].set(5.0)
+        st = st.replace(agent_states=s)
+        n1, *_ = step(st, jnp.array([100.0, 0.0]))
+        # accel clipped to 1 -> dv = 0.1
+        np.testing.assert_allclose(float(n1.agent_states[0, 3]), 5.1, rtol=1e-5)
+
+    def test_replay_override(self, assets_val):
+        # validation case 1 ("Chicken") has a 300-frame replay for slot 1
+        cfg, reset, step = self._mk(assets_val, terminated_at_infraction=False)
+        # find a key that lands on case 1
+        for i in range(100):
+            st = reset(jax.random.PRNGKey(i))
+            if int(st.case) == 1:
+                break
+        assert int(st.case) == 1
+        expected = np.asarray(assets_val.suite.replay_states[1, 1, 1])
+        st2, *_ = step(st, jnp.zeros(2))
+        np.testing.assert_allclose(np.asarray(st2.agent_states[1]), expected, atol=1e-5)
+
+
+class TestBatchedAutoReset:
+    def test_rollout(self, assets_val):
+        env = BatchedEnv(_cfg(ego_only=True), assets_val, num_envs=8)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs.shape == (8, 3, 64, 64) and obs.dtype == np.uint8
+        dones = 0
+        for _ in range(60):
+            acts = jnp.tile(jnp.array([[1.0, 0.0]]), (8, 1))
+            state, obs, r, term, trunc, info = env.step(state, acts)
+            dones += int((term | trunc).sum())
+        # full-throttle constant action must eventually end episodes (offroad)
+        assert dones > 0
+        # auto-reset: all step counters below the cap, none negative
+        sc = np.asarray(state.step_idx)
+        assert (sc >= 0).all() and (sc <= 200).all()
+
+    def test_deterministic(self, assets_val):
+        env = BatchedEnv(_cfg(ego_only=True), assets_val, num_envs=4)
+        s1, o1 = env.reset(jax.random.PRNGKey(7))
+        s2, o2 = env.reset(jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        a = jnp.tile(jnp.array([[0.3, 0.1]]), (4, 1))
+        out1 = env.step(s1, a)
+        out2 = env.step(s2, a)
+        np.testing.assert_array_equal(np.asarray(out1.obs), np.asarray(out2.obs))
+        np.testing.assert_array_equal(np.asarray(out1.reward), np.asarray(out2.reward))

@@ -1,0 +1,113 @@
+"""Lockstep batched environment with in-graph auto-reset.
+
+The TPU-native replacement for the reference's `SubprocVecEnv` OS-process
+vectorization (reference examples/rl_training.py:159): N envs become a leading
+array axis of one jitted step. Episode boundaries are handled *inside* the
+step (per-env select between the stepped state and a freshly reset state), so
+thousands of envs run in lockstep with no host round-trips.
+
+Functional API (`make_env_fns`) for use under `jax.lax.scan` / `shard_map`,
+plus a convenience `BatchedEnv` class holding jitted callables.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from torchdriveenv_tpu.config import EnvConfig
+from torchdriveenv_tpu.env import core
+from torchdriveenv_tpu.maps.arrays import Assets
+from torchdriveenv_tpu.ops.rasterizer import render_egocentric
+
+
+class StepOutput(NamedTuple):
+    state: Any                 # EnvState batch
+    obs: jnp.ndarray           # (B, 3, res, res) uint8
+    reward: jnp.ndarray        # (B,)
+    terminated: jnp.ndarray    # (B,) bool
+    truncated: jnp.ndarray     # (B,) bool
+    info: Dict[str, jnp.ndarray]
+
+
+def _obs_single(cfg: EnvConfig, assets: Assets, state: core.EnvState) -> jnp.ndarray:
+    rcfg = cfg.simulator.renderer
+    t = state.time0 + state.step_idx.astype(jnp.float32) * cfg.simulator.dt
+    return render_egocentric(
+        assets.maps, state.town, t,
+        state.agent_states, state.agent_attrs, state.present,
+        assets.suite.waypoints[state.case], state.target_idx,
+        assets.suite.n_waypoints[state.case],
+        res=rcfg.obs_res, fov=rcfg.obs_fov,
+        left_handed=rcfg.left_handed_coordinates,
+        highlight_ego=rcfg.highlight_ego_vehicle,
+    )
+
+
+def _step_autoreset_single(cfg: EnvConfig, assets: Assets,
+                           state: core.EnvState, action: jnp.ndarray):
+    next_state, reward, term, trunc, info = core.step(cfg, assets, state, action)
+    done = term | trunc
+    k_reset, k_carry = jax.random.split(next_state.rng)
+    next_state = next_state.replace(rng=k_carry)
+    fresh = core.reset(cfg, assets, k_reset)
+    # per-env select; both branches are computed (lockstep), reset is cheap
+    out_state = jax.tree.map(
+        lambda f, n: jnp.where(jnp.reshape(done, (1,) * n.ndim), f, n)
+        if n.ndim else jnp.where(done, f, n),
+        fresh, next_state)
+    return out_state, reward, term, trunc, info
+
+
+def make_env_fns(cfg: EnvConfig, assets: Assets,
+                 render: bool = True) -> Tuple[Callable, Callable]:
+    """Pure, unjitted batched (reset_fn, step_fn).
+
+    reset_fn(keys[B]) -> (state, obs)
+    step_fn(state, actions[B, 2]) -> StepOutput
+    Obs rendering can be disabled (`render=False`) for state-based pipelines;
+    obs is then a zero-size placeholder.
+    """
+    reset_one = functools.partial(core.reset, cfg, assets)
+    step_one = functools.partial(_step_autoreset_single, cfg, assets)
+    obs_one = functools.partial(_obs_single, cfg, assets)
+
+    def reset_fn(keys: jnp.ndarray):
+        state = jax.vmap(reset_one)(keys)
+        obs = jax.vmap(obs_one)(state) if render else _no_obs(keys.shape[0], cfg)
+        return state, obs
+
+    def step_fn(state, actions: jnp.ndarray) -> StepOutput:
+        state, reward, term, trunc, info = jax.vmap(step_one)(state, actions)
+        obs = jax.vmap(obs_one)(state) if render else _no_obs(reward.shape[0], cfg)
+        return StepOutput(state, obs, reward, term, trunc, info)
+
+    return reset_fn, step_fn
+
+
+def _no_obs(batch: int, cfg: EnvConfig) -> jnp.ndarray:
+    res = cfg.simulator.renderer.obs_res
+    return jnp.zeros((batch, 3, res, res), jnp.uint8)
+
+
+class BatchedEnv:
+    """Convenience wrapper holding jitted reset/step for a fixed batch size."""
+
+    def __init__(self, cfg: EnvConfig, assets: Assets, num_envs: int,
+                 render: bool = True):
+        self.cfg = cfg
+        self.assets = assets
+        self.num_envs = num_envs
+        reset_fn, step_fn = make_env_fns(cfg, assets, render=render)
+        self._reset = jax.jit(reset_fn)
+        self._step = jax.jit(step_fn)
+
+    def reset(self, key: jnp.ndarray):
+        keys = jax.random.split(key, self.num_envs)
+        return self._reset(keys)
+
+    def step(self, state, actions: jnp.ndarray) -> StepOutput:
+        return self._step(state, actions)

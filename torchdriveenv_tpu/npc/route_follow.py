@@ -1,0 +1,111 @@
+"""Deterministic local NPC behavioral model.
+
+Replaces the per-step Inverted AI DRIVE network calls that the reference
+routes through torchdrivesim's IAIWrapper (reference gym_env.py:285-294;
+SURVEY.md L0b). NPCs follow the compiled lane direction field with an IDM
+(Intelligent Driver Model) longitudinal controller, keep away from road edges
+using the SDF, brake for leaders, and respect red traffic lights.
+
+The controller is a pure function of (map arrays, agent states) -> actions,
+fully vectorized over padded agents, so the whole NPC population steps inside
+the jitted env step with zero host/network involvement. Log-replay NPCs are
+handled separately by the env core (state override, matching IAIWrapper's
+replay_states/replay_mask semantics at reference gym_env.py:275-294).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from torchdriveenv_tpu.maps.arrays import MapArrays, sample_dir_angle, sample_sdf
+from torchdriveenv_tpu.ops.traffic_lights import LightState, light_states_at
+
+# IDM parameters (standard motorway values, Treiber et al. 2000)
+IDM_A_MAX = 2.0       # max comfortable acceleration (m/s^2)
+IDM_B = 3.0           # comfortable deceleration (m/s^2)
+IDM_S0 = 2.5          # standstill gap (m)
+IDM_T = 1.5           # time headway (s)
+ACCEL_BOUNDS = (-4.0, 2.0)
+STEER_BOUND = 0.35
+LEADER_RANGE = 60.0   # leader search distance (m)
+LEADER_LAT = 2.5      # half-width of the leader search corridor (m)
+LIGHT_RANGE = 30.0    # red-light braking distance (m)
+LIGHT_LAT = 4.0
+
+
+def _wrap(a):
+    return (a + jnp.pi) % (2 * jnp.pi) - jnp.pi
+
+
+def npc_actions(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
+                states: jnp.ndarray, attrs: jnp.ndarray, present: jnp.ndarray,
+                target_speed: jnp.ndarray) -> jnp.ndarray:
+    """Compute (A, 2) [accel, steering] for all agents (caller masks the ego).
+
+    states (A, 4), attrs (A, 3) [length, width, lr], present (A,),
+    target_speed (A,) desired cruise speed (0 => parked).
+    """
+    pos = states[:, :2]
+    psi = states[:, 2]
+    v = states[:, 3]
+    length = attrs[:, 0]
+    fwd = jnp.stack([jnp.cos(psi), jnp.sin(psi)], axis=-1)
+    left = jnp.stack([-jnp.sin(psi), jnp.cos(psi)], axis=-1)
+
+    # ---- lateral control: track the direction field + stay off road edges
+    lookahead = jnp.maximum(3.0, v * 0.6)
+    probe = pos + fwd * lookahead[:, None]
+    dir_tgt = sample_dir_angle(maps, town, probe)
+    heading_err = _wrap(dir_tgt - psi)
+    sdf_l = sample_sdf(maps, town, pos + 1.5 * left)
+    sdf_r = sample_sdf(maps, town, pos - 1.5 * left)
+    edge_err = jnp.clip(0.08 * (sdf_l - sdf_r), -0.2, 0.2)
+    steer = jnp.clip(1.5 * heading_err + edge_err, -STEER_BOUND, STEER_BOUND)
+
+    # ---- longitudinal control: IDM against the nearest leader
+    rel = pos[None, :, :] - pos[:, None, :]              # (i, j, 2): j relative to i
+    lon = jnp.einsum("ijd,id->ij", rel, fwd)
+    lat = jnp.einsum("ijd,id->ij", rel, left)
+    same_dir = jnp.cos(psi[None, :] - psi[:, None]) > -0.2
+    is_leader = (present[None, :] & present[:, None]
+                 & (lon > 0.0) & (lon < LEADER_RANGE)
+                 & (jnp.abs(lat) < LEADER_LAT) & same_dir)
+    a = states.shape[0]
+    is_leader = is_leader & ~jnp.eye(a, dtype=bool)
+    gap_ij = lon - (length[:, None] + length[None, :]) / 2.0
+    gap_ij = jnp.where(is_leader, gap_ij, jnp.inf)
+    j_star = jnp.argmin(gap_ij, axis=1)
+    leader_gap = jnp.min(gap_ij, axis=1)
+    leader_v = jnp.where(jnp.isfinite(leader_gap), v[j_star], 0.0)
+
+    # ---- red lights become stationary obstacles at the stopline
+    sl_mid = (maps.stop_p0[town] + maps.stop_p1[town]) / 2.0  # (L, 2)
+    rel_sl = sl_mid[None, :, :] - pos[:, None, :]
+    sl_lon = jnp.einsum("ild,id->il", rel_sl, fwd)
+    sl_lat = jnp.einsum("ild,id->il", rel_sl, left)
+    red = light_states_at(maps, town, t) != LightState.GREEN   # stop on yellow+red
+    aligned = jnp.cos(psi[:, None] - maps.stop_dir[town][None, :]) > 0.5
+    sl_active = (maps.light_mask[town][None, :] & red[None, :] & aligned
+                 & (sl_lon > 0.0) & (sl_lon < LIGHT_RANGE)
+                 & (jnp.abs(sl_lat) < LIGHT_LAT))
+    sl_gap = jnp.where(sl_active, sl_lon - length[:, None] / 2.0 - 1.0, jnp.inf)
+    light_gap = jnp.min(sl_gap, axis=1)
+
+    use_light = light_gap < leader_gap
+    gap = jnp.where(use_light, light_gap, leader_gap)
+    lead_speed = jnp.where(use_light, 0.0, leader_v)
+    gap = jnp.maximum(gap, 0.1)
+
+    v0 = jnp.maximum(target_speed, 0.1)
+    dv = v - lead_speed
+    s_star = IDM_S0 + v * IDM_T + v * dv / (2.0 * jnp.sqrt(IDM_A_MAX * IDM_B))
+    s_star = jnp.maximum(s_star, 0.0)
+    interaction = jnp.where(jnp.isfinite(gap), (s_star / gap) ** 2, 0.0)
+    accel = IDM_A_MAX * (1.0 - (jnp.maximum(v, 0.0) / v0) ** 4 - interaction)
+    accel = jnp.clip(accel, *ACCEL_BOUNDS)
+
+    # parked agents (target_speed ~ 0) hold still
+    parked = target_speed < 0.1
+    accel = jnp.where(parked, jnp.clip(-4.0 * v, *ACCEL_BOUNDS), accel)
+    steer = jnp.where(parked, 0.0, steer)
+    return jnp.stack([accel, steer], axis=-1)

@@ -1,0 +1,43 @@
+"""Kinematic bicycle integrator.
+
+Replaces torchdrivesim's `KinematicBicycle` as consumed by the reference env
+(reference gym_env.py:17,245-247: `set_params(lr=rear_axis_offset)`,
+`set_state(B x A x 4)`, integrating `(acceleration, steering)` at dt=0.1 s).
+
+Model: the standard single-track kinematic bicycle with the reference point at
+the body center and the slip angle of the center-of-mass form with lf == lr
+(Kong et al. 2015, "Kinematic and dynamic vehicle models for autonomous
+driving control design"):
+
+    beta = atan(tan(steering) / 2)
+    x'   = v * cos(psi + beta)
+    y'   = v * sin(psi + beta)
+    psi' = v * sin(beta) / lr
+    v'   = a
+
+State layout `[x, y, psi, speed]` matches the reference (gym_env.py:371-375).
+Pure function, broadcasts over any leading batch/agent dims, vmap/scan safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def bicycle_step(state: jnp.ndarray, action: jnp.ndarray, lr: jnp.ndarray,
+                 dt: float = 0.1) -> jnp.ndarray:
+    """Integrate one step.
+
+    state:  (..., 4) [x, y, psi, speed]
+    action: (..., 2) [acceleration (m/s^2), steering (rad, front wheel)]
+    lr:     (...) distance from body center to rear axle (m)
+    """
+    x, y, psi, v = state[..., 0], state[..., 1], state[..., 2], state[..., 3]
+    a, steer = action[..., 0], action[..., 1]
+    lr = jnp.maximum(lr, 1e-3)
+    beta = jnp.arctan(0.5 * jnp.tan(steer))
+    x = x + v * jnp.cos(psi + beta) * dt
+    y = y + v * jnp.sin(psi + beta) * dt
+    psi = psi + v * jnp.sin(beta) / lr * dt
+    v = v + a * dt
+    return jnp.stack([x, y, psi, v], axis=-1)
