@@ -1,390 +1,17 @@
 #!/usr/bin/env python
-"""Offline asset compiler: scenario suites + traffic caches + map geometry
-   -> fixed-shape padded numpy bundles consumed by the jitted engine.
-
-This is the TPU-native replacement for the reference's runtime data loading
-stack (reference: torchdriveenv/env_utils.py, gym_env.py:200-217 background
-traffic sampling, torchdrivesim's `find_map_config`/lanelet2 map loading at
-gym_env.py:312). Instead of parsing YAML/JSON and querying a C++ lanelet map
-per episode, everything is compiled once into padded arrays with masks so that
-`reset`/`step` are pure XLA.
-
-Map geometry note: the reference obtains CARLA road meshes from the external
-`torchdrivesim` package (not vendored). Those meshes are unavailable, so
-bundled maps are synthesized conservatively from the bundled data itself:
- - drivable corridors around every waypoint polyline of the town,
- - footprint stubs along each cached background-traffic agent's heading,
-then converted to a signed distance field (positive = drivable) and a lane
-direction field (nearest corridor direction, propagated everywhere). Traffic
-lights are synthesized at corridor crossings. The schema is
-importer-friendly: any real map raster can be dropped into the same arrays.
-
-Usage:
-    python tools/compile_assets.py --reference /root/reference --out torchdriveenv_tpu/assets
-"""
+"""CLI for the offline asset compiler (logic lives in
+torchdriveenv_tpu/maps/compile.py so runtime code can also compile custom
+user data)."""
 
 import argparse
-import json
-import math
 import os
 import sys
 
-import numpy as np
-import yaml
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-try:
-    from scipy import ndimage
-except ImportError:  # pragma: no cover
-    ndimage = None
+import numpy as np  # noqa: E402
 
-TOWNS = ["Town01", "Town02", "Town03", "Town07", "Town10HD"]
-GRID = 1024            # pixels per side
-SCALE = 0.5            # meters per pixel
-MARGIN = 24.0          # meters of padding around content bounds
-WAYPOINT_HALFWIDTH = 3.5   # corridor half width around waypoint polylines (m)
-STUB_HALFWIDTH = 3.0       # half width around background-agent heading stubs (m)
-STUB_LENGTH = 7.0          # background agent stub extent along heading (m)
-MAX_AGENTS = 96        # padded agent capacity (reference keeps scenes <100 agents, gym_env.py:216)
-MAX_WAYPOINTS = 20     # training cases have 5..20 waypoints
-MAX_SCEN_AGENTS = 4    # validation max is 2 predefined agents
-MAX_REPLAY_T = 304     # validation max replay length is 300
-MAX_BG_FILES = 20      # Town02/Town03 have 20 cached traffic files
-MAX_LIGHTS = 16        # synthesized traffic lights per town
-LIGHT_GREEN, LIGHT_YELLOW, LIGHT_RED = 10.0, 3.0, 7.0   # cycle durations (s)
-STOPLINE_SETBACK = 10.0    # stopline distance before the intersection point (m)
-STOPLINE_HALFWIDTH = 4.0   # stopline segment half length (m)
-
-
-def log(*a):
-    print("[compile_assets]", *a, file=sys.stderr)
-
-
-# ---------------------------------------------------------------------------
-# geometry helpers (host-side, numpy)
-# ---------------------------------------------------------------------------
-
-def stamp_segment(drivable, dir_best_d, dir_angle, p0, p1, halfwidth, origin, scale):
-    """Mark pixels within `halfwidth` of segment p0-p1 as drivable and record
-    the segment direction for the closest segment per pixel."""
-    g = drivable.shape[0]
-    seg = np.asarray(p1, np.float64) - np.asarray(p0, np.float64)
-    seg_len = float(np.hypot(*seg))
-    ang = math.atan2(seg[1], seg[0]) if seg_len > 1e-6 else None
-    lo = np.minimum(p0, p1) - halfwidth
-    hi = np.maximum(p0, p1) + halfwidth
-    i0 = max(int((lo[0] - origin[0]) / scale) - 1, 0)
-    j0 = max(int((lo[1] - origin[1]) / scale) - 1, 0)
-    i1 = min(int((hi[0] - origin[0]) / scale) + 2, g)
-    j1 = min(int((hi[1] - origin[1]) / scale) + 2, g)
-    if i0 >= i1 or j0 >= j1:
-        return
-    xs = origin[0] + (np.arange(i0, i1) + 0.5) * scale
-    ys = origin[1] + (np.arange(j0, j1) + 0.5) * scale
-    X, Y = np.meshgrid(xs, ys, indexing="ij")
-    px = X - p0[0]
-    py = Y - p0[1]
-    if seg_len > 1e-6:
-        t = np.clip((px * seg[0] + py * seg[1]) / (seg_len * seg_len), 0.0, 1.0)
-    else:
-        t = 0.0
-    dx = px - t * seg[0]
-    dy = py - t * seg[1]
-    d = np.hypot(dx, dy)
-    inside = d <= halfwidth
-    drivable[i0:i1, j0:j1] |= inside
-    if ang is not None:
-        win_d = dir_best_d[i0:i1, j0:j1]
-        closer = d < win_d
-        win_d[closer] = d[closer]
-        dir_angle[i0:i1, j0:j1][closer] = ang
-
-
-def seg_intersect(a0, a1, b0, b1):
-    """Return intersection point of segments or None."""
-    r = a1 - a0
-    s = b1 - b0
-    denom = r[0] * s[1] - r[1] * s[0]
-    if abs(denom) < 1e-9:
-        return None
-    q = b0 - a0
-    t = (q[0] * s[1] - q[1] * s[0]) / denom
-    u = (q[0] * r[1] - q[1] * r[0]) / denom
-    if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
-        return a0 + t * r
-    return None
-
-
-# ---------------------------------------------------------------------------
-# loading reference data (as *data inputs*, not code)
-# ---------------------------------------------------------------------------
-
-def load_suites(ref):
-    data_dir = os.path.join(ref, "torchdriveenv", "data")
-    suites = {}
-    for name, fn in [("train", "training_cases.yml"), ("val", "validation_cases.yml")]:
-        with open(os.path.join(data_dir, fn)) as f:
-            suites[name] = yaml.safe_load(f)
-    return suites
-
-
-def load_background(ref):
-    bg_dir = os.path.join(ref, "torchdriveenv", "resources", "background_traffic")
-    per_town = {t: [] for t in TOWNS}
-    for fn in sorted(os.listdir(bg_dir)):
-        if not fn.endswith(".json"):
-            continue
-        with open(os.path.join(bg_dir, fn)) as f:
-            j = json.load(f)
-        town = j["location"].split(":")[-1]
-        per_town[town].append(j)
-    return per_town
-
-
-# ---------------------------------------------------------------------------
-# compilation passes
-# ---------------------------------------------------------------------------
-
-def town_content(suites, background, town):
-    """All polyline segments + agent stubs that evidence drivable area."""
-    segments = []          # (p0, p1, halfwidth)
-    points = []
-    for suite in suites.values():
-        for loc, wps, cseq in zip(
-            suite["locations"], suite["waypoint_suite"], suite["car_sequence_suite"]
-        ):
-            if loc != town:
-                continue
-            wps = np.asarray(wps, np.float64)
-            points.extend(wps.tolist())
-            for k in range(len(wps) - 1):
-                segments.append((wps[k], wps[k + 1], WAYPOINT_HALFWIDTH))
-            for seq in (cseq or {}).values():
-                arr = np.asarray(seq, np.float64)
-                points.extend(arr[:, :2].tolist())
-                for k in range(len(arr) - 1):
-                    if np.hypot(*(arr[k + 1, :2] - arr[k, :2])) > 0.2:
-                        segments.append((arr[k, :2], arr[k + 1, :2], WAYPOINT_HALFWIDTH))
-        for sc in suite.get("scenarios") or []:
-            if sc is None:
-                continue
-            # scenario agents also evidence drivable space at their spawn
-            for st in sc["agent_states"]:
-                # only include if this scenario belongs to the town — handled below
-                pass
-    # scenario agent stubs (need the per-case town)
-    for suite in suites.values():
-        scen = suite.get("scenarios")
-        if not scen:
-            continue
-        for loc, sc in zip(suite["locations"], scen):
-            if loc != town or sc is None:
-                continue
-            for x, y, psi, _spd in sc["agent_states"]:
-                d = np.array([math.cos(psi), math.sin(psi)])
-                c = np.array([x, y])
-                segments.append((c - STUB_LENGTH * d, c + STUB_LENGTH * d, STUB_HALFWIDTH))
-                points.append([x, y])
-    for j in background.get(town, []):
-        for st in j["agent_states"]:
-            x, y = st["center"]["x"], st["center"]["y"]
-            psi = st["orientation"]
-            d = np.array([math.cos(psi), math.sin(psi)])
-            c = np.array([x, y])
-            segments.append((c - STUB_LENGTH * d, c + STUB_LENGTH * d, STUB_HALFWIDTH))
-            points.append([x, y])
-    return segments, np.asarray(points, np.float64)
-
-
-def compile_town_map(segments, points):
-    lo = points.min(axis=0) - MARGIN
-    hi = points.max(axis=0) + MARGIN
-    center = (lo + hi) / 2.0
-    extent = GRID * SCALE
-    origin = center - extent / 2.0
-    if np.any(hi - lo > extent):
-        log(f"WARNING: content extent {hi - lo} exceeds grid extent {extent}")
-
-    drivable = np.zeros((GRID, GRID), dtype=bool)
-    dir_best_d = np.full((GRID, GRID), 1e9, dtype=np.float64)
-    dir_angle = np.zeros((GRID, GRID), dtype=np.float64)
-    for p0, p1, hw in segments:
-        stamp_segment(drivable, dir_best_d, dir_angle, np.asarray(p0), np.asarray(p1), hw, origin, SCALE)
-
-    # signed distance (meters), positive inside drivable area
-    if ndimage is None:
-        raise RuntimeError("scipy required for asset compilation")
-    inside = ndimage.distance_transform_edt(drivable) * SCALE
-    outside = ndimage.distance_transform_edt(~drivable) * SCALE
-    sdf = (inside - outside).astype(np.float32)
-
-    # propagate direction field to every pixel from nearest covered pixel
-    covered = dir_best_d < 1e8
-    _, idx = ndimage.distance_transform_edt(~covered, return_indices=True)
-    dir_full = dir_angle[idx[0], idx[1]]
-    return origin.astype(np.float32), sdf, dir_full.astype(np.float32)
-
-
-def synthesize_lights(suites, town):
-    """Place traffic lights at corridor crossings: intersections between
-    waypoint segments of *different* cases meeting at >45 deg, clustered."""
-    segs = []
-    for suite in suites.values():
-        for ci, (loc, wps) in enumerate(zip(suite["locations"], suite["waypoint_suite"])):
-            if loc != town:
-                continue
-            wps = np.asarray(wps, np.float64)
-            for k in range(len(wps) - 1):
-                segs.append((id(suite) * 1000 + ci, wps[k], wps[k + 1]))
-    hits = []
-    for i in range(len(segs)):
-        for j in range(i + 1, len(segs)):
-            ci, a0, a1 = segs[i]
-            cj, b0, b1 = segs[j]
-            if ci == cj:
-                continue
-            da = a1 - a0
-            db = b1 - b0
-            na, nb = np.hypot(*da), np.hypot(*db)
-            if na < 1e-6 or nb < 1e-6:
-                continue
-            cosang = abs(np.dot(da, db) / (na * nb))
-            if cosang > math.cos(math.radians(45)):
-                continue
-            p = seg_intersect(a0, a1, b0, b1)
-            if p is not None:
-                hits.append((p, math.atan2(da[1], da[0]), math.atan2(db[1], db[0])))
-    # second source of intersection evidence: sharp turns inside a route
-    # (a >40 deg heading change at an interior waypoint marks a junction)
-    for suite in suites.values():
-        for loc, wps in zip(suite["locations"], suite["waypoint_suite"]):
-            if loc != town:
-                continue
-            wps = np.asarray(wps, np.float64)
-            for k in range(1, len(wps) - 1):
-                din = wps[k] - wps[k - 1]
-                dout = wps[k + 1] - wps[k]
-                if np.hypot(*din) < 1e-6 or np.hypot(*dout) < 1e-6:
-                    continue
-                a_in = math.atan2(din[1], din[0])
-                a_out = math.atan2(dout[1], dout[0])
-                turn = (a_out - a_in + math.pi) % (2 * math.pi) - math.pi
-                if abs(turn) > math.radians(40):
-                    hits.append((wps[k], a_in, a_out))
-    # cluster intersection points within 15 m
-    clusters = []
-    for p, ang_a, ang_b in hits:
-        for c in clusters:
-            if np.hypot(*(p - c["p"])) < 15.0:
-                c["angles"].update(
-                    {round(ang_a / (math.pi / 2)) % 4, round(ang_b / (math.pi / 2)) % 4}
-                )
-                break
-        else:
-            clusters.append({"p": p, "angles": {round(ang_a / (math.pi / 2)) % 4,
-                                                round(ang_b / (math.pi / 2)) % 4}, "raw": (ang_a, ang_b)})
-    p0s, p1s, dirs, phases = [], [], [], []
-    for ck, c in enumerate(clusters):
-        if len(p0s) >= MAX_LIGHTS:
-            break
-        ang_a, ang_b = c["raw"]
-        for appr_i, appr in enumerate((ang_a, ang_b)):
-            if len(p0s) >= MAX_LIGHTS:
-                break
-            d = np.array([math.cos(appr), math.sin(appr)])
-            n = np.array([-d[1], d[0]])
-            center = c["p"] - STOPLINE_SETBACK * d
-            p0s.append(center - STOPLINE_HALFWIDTH * n)
-            p1s.append(center + STOPLINE_HALFWIDTH * n)
-            dirs.append(appr)
-            # opposing approaches share green; perpendicular offset by half period
-            period = LIGHT_GREEN + LIGHT_YELLOW + LIGHT_RED
-            phases.append(0.0 if appr_i == 0 else period / 2.0)
-    n = len(p0s)
-    out = dict(
-        stop_p0=np.zeros((MAX_LIGHTS, 2), np.float32),
-        stop_p1=np.zeros((MAX_LIGHTS, 2), np.float32),
-        stop_dir=np.zeros((MAX_LIGHTS,), np.float32),
-        light_phase=np.zeros((MAX_LIGHTS,), np.float32),
-        light_mask=np.zeros((MAX_LIGHTS,), bool),
-    )
-    if n:
-        out["stop_p0"][:n] = np.asarray(p0s, np.float32)
-        out["stop_p1"][:n] = np.asarray(p1s, np.float32)
-        out["stop_dir"][:n] = np.asarray(dirs, np.float32)
-        out["light_phase"][:n] = np.asarray(phases, np.float32)
-        out["light_mask"][:n] = True
-    return out, n
-
-
-def compile_suite(suite):
-    """Padded per-case arrays (reference schema: gym_env.py:56-68 + env_utils.py)."""
-    C = len(suite["locations"])
-    out = dict(
-        case_town=np.zeros((C,), np.int32),
-        waypoints=np.zeros((C, MAX_WAYPOINTS, 2), np.float32),
-        waypoint_mask=np.zeros((C, MAX_WAYPOINTS), bool),
-        n_waypoints=np.zeros((C,), np.int32),
-        scen_states=np.zeros((C, MAX_SCEN_AGENTS, 4), np.float32),
-        scen_attrs=np.zeros((C, MAX_SCEN_AGENTS, 3), np.float32),
-        scen_mask=np.zeros((C, MAX_SCEN_AGENTS), bool),
-        replay_states=np.zeros((C, 1 + MAX_SCEN_AGENTS, MAX_REPLAY_T, 4), np.float32),
-        replay_mask=np.zeros((C, 1 + MAX_SCEN_AGENTS, MAX_REPLAY_T), bool),
-    )
-    scen_list = suite.get("scenarios") or [None] * C
-    cseq_list = suite.get("car_sequence_suite") or [None] * C
-    for c in range(C):
-        out["case_town"][c] = TOWNS.index(suite["locations"][c])
-        wps = np.asarray(suite["waypoint_suite"][c], np.float32)
-        n = len(wps)
-        out["waypoints"][c, :n] = wps
-        # reference masks out waypoint 0 as a goal (gym_env.py:256); target
-        # indexing starts at 1 (gym_env.py:325). We keep all waypoints and
-        # start current_target_idx at 1, matching semantics.
-        out["waypoint_mask"][c, :n] = True
-        out["n_waypoints"][c] = n
-        sc = scen_list[c]
-        if sc is not None:
-            st = np.asarray(sc["agent_states"], np.float32)
-            at = np.asarray(sc["agent_attributes"], np.float32)
-            k = len(st)
-            out["scen_states"][c, :k] = st
-            out["scen_attrs"][c, :k] = at
-            out["scen_mask"][c, :k] = True
-        cs = cseq_list[c]
-        if cs:
-            for slot, seq in cs.items():
-                slot = int(slot)  # merged agent slot: 0=ego, 1..S=scenario agents (gym_env.py:279)
-                arr = np.asarray(seq, np.float32)
-                t = min(len(arr), MAX_REPLAY_T)
-                out["replay_states"][c, slot, :t] = arr[:t]
-                out["replay_mask"][c, slot, :t] = True
-    return out
-
-
-def compile_background(background):
-    T = len(TOWNS)
-    out = dict(
-        bg_states=np.zeros((T, MAX_BG_FILES, MAX_AGENTS, 4), np.float32),
-        bg_attrs=np.zeros((T, MAX_BG_FILES, MAX_AGENTS, 3), np.float32),
-        bg_mask=np.zeros((T, MAX_BG_FILES, MAX_AGENTS), bool),
-        bg_density=np.zeros((T, MAX_BG_FILES), np.int32),
-        bg_valid=np.zeros((T, MAX_BG_FILES), bool),
-    )
-    for ti, town in enumerate(TOWNS):
-        for fi, j in enumerate(background.get(town, [])[:MAX_BG_FILES]):
-            sts = j["agent_states"]
-            ats = j["agent_attributes"]
-            n = min(len(sts), MAX_AGENTS)
-            for k in range(n):
-                s, a = sts[k], ats[k]
-                out["bg_states"][ti, fi, k] = [s["center"]["x"], s["center"]["y"],
-                                               s["orientation"], s["speed"]]
-                out["bg_attrs"][ti, fi, k] = [a["length"], a["width"], a["rear_axis_offset"]]
-            out["bg_mask"][ti, fi, :n] = True
-            out["bg_density"][ti, fi] = j["agent_density"]
-            # reference resamples until n_agents + density < 100 (gym_env.py:216)
-            out["bg_valid"][ti, fi] = (len(sts) + j["agent_density"]) < 100
-    return out
+from torchdriveenv_tpu.maps import compile as mc  # noqa: E402
 
 
 def main():
@@ -395,40 +22,40 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
-    suites = load_suites(args.reference)
-    background = load_background(args.reference)
+    suites = mc.load_suites(args.reference)
+    background = mc.load_background(args.reference)
 
     maps = dict(
-        scale=np.float32(SCALE),
-        origin=np.zeros((len(TOWNS), 2), np.float32),
-        sdf=np.zeros((len(TOWNS), GRID, GRID), np.float16),
-        dir_angle=np.zeros((len(TOWNS), GRID, GRID), np.float16),
-        stop_p0=np.zeros((len(TOWNS), MAX_LIGHTS, 2), np.float32),
-        stop_p1=np.zeros((len(TOWNS), MAX_LIGHTS, 2), np.float32),
-        stop_dir=np.zeros((len(TOWNS), MAX_LIGHTS), np.float32),
-        light_phase=np.zeros((len(TOWNS), MAX_LIGHTS), np.float32),
-        light_mask=np.zeros((len(TOWNS), MAX_LIGHTS), bool),
-        light_durations=np.asarray([LIGHT_GREEN, LIGHT_YELLOW, LIGHT_RED], np.float32),
+        scale=np.float32(mc.SCALE),
+        origin=np.zeros((len(mc.TOWNS), 2), np.float32),
+        sdf=np.zeros((len(mc.TOWNS), mc.GRID, mc.GRID), np.float16),
+        dir_angle=np.zeros((len(mc.TOWNS), mc.GRID, mc.GRID), np.float16),
+        stop_p0=np.zeros((len(mc.TOWNS), mc.MAX_LIGHTS, 2), np.float32),
+        stop_p1=np.zeros((len(mc.TOWNS), mc.MAX_LIGHTS, 2), np.float32),
+        stop_dir=np.zeros((len(mc.TOWNS), mc.MAX_LIGHTS), np.float32),
+        light_phase=np.zeros((len(mc.TOWNS), mc.MAX_LIGHTS), np.float32),
+        light_mask=np.zeros((len(mc.TOWNS), mc.MAX_LIGHTS), bool),
+        light_durations=np.asarray([mc.LIGHT_GREEN, mc.LIGHT_YELLOW, mc.LIGHT_RED], np.float32),
     )
-    for ti, town in enumerate(TOWNS):
-        segs, pts = town_content(suites, background, town)
-        origin, sdf, dirs = compile_town_map(segs, pts)
+    for ti, town in enumerate(mc.TOWNS):
+        segs, pts = mc.town_content(suites, background, town)
+        origin, sdf, dirs = mc.compile_town_map(segs, pts)
         maps["origin"][ti] = origin
         maps["sdf"][ti] = sdf.astype(np.float16)
         maps["dir_angle"][ti] = dirs.astype(np.float16)
-        lights, nl = synthesize_lights(suites, town)
+        lights, nl = mc.synthesize_lights(suites, town)
         for k, v in lights.items():
             maps[k][ti] = v
         drv = float((sdf > 0).mean())
-        log(f"{town}: {len(segs)} segments, drivable {drv:.1%}, {nl} lights, origin {origin}")
+        mc.log(f"{town}: {len(segs)} segments, drivable {drv:.1%}, {nl} lights, origin {origin}")
 
-    np.savez_compressed(os.path.join(args.out, "maps_v1.npz"), town_names=np.array(TOWNS), **maps)
-    np.savez_compressed(os.path.join(args.out, "suite_train_v1.npz"), **compile_suite(suites["train"]))
-    np.savez_compressed(os.path.join(args.out, "suite_val_v1.npz"), **compile_suite(suites["val"]))
-    np.savez_compressed(os.path.join(args.out, "background_v1.npz"), **compile_background(background))
+    np.savez_compressed(os.path.join(args.out, "maps_v1.npz"), town_names=np.array(mc.TOWNS), **maps)
+    np.savez_compressed(os.path.join(args.out, "suite_train_v1.npz"), **mc.compile_suite(suites["train"]))
+    np.savez_compressed(os.path.join(args.out, "suite_val_v1.npz"), **mc.compile_suite(suites["val"]))
+    np.savez_compressed(os.path.join(args.out, "background_v1.npz"), **mc.compile_background(background))
     for fn in ["maps_v1.npz", "suite_train_v1.npz", "suite_val_v1.npz", "background_v1.npz"]:
         p = os.path.join(args.out, fn)
-        log(f"{fn}: {os.path.getsize(p) / 1e6:.2f} MB")
+        mc.log(f"{fn}: {os.path.getsize(p) / 1e6:.2f} MB")
 
 
 if __name__ == "__main__":
