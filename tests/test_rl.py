@@ -1,0 +1,258 @@
+"""RL stack tests: models, replay buffer frame-stacking, GAE, learner
+updates, rollout collection, evaluator metric semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchdriveenv_tpu.models.cnn import NatureCNN
+from torchdriveenv_tpu.models.policies import (
+    DeterministicActor,
+    DoubleQCritic,
+    GaussianActorCritic,
+    SquashedGaussianActor,
+    gaussian_entropy,
+    gaussian_log_prob,
+    sample_squashed,
+    scale_action,
+    unscale_action,
+)
+from torchdriveenv_tpu.rl import buffer as replay
+from torchdriveenv_tpu.rl.a2c import A2C, A2CConfig
+from torchdriveenv_tpu.rl.ppo import PPO, PPOConfig, compute_gae
+from torchdriveenv_tpu.rl.rollout import init_stack, update_stack
+from torchdriveenv_tpu.rl.sac import SAC, SACConfig
+from torchdriveenv_tpu.rl.td3 import TD3, TD3Config
+
+K = jax.random.PRNGKey
+
+
+class TestModels:
+    def test_naturecnn_shapes(self):
+        net = NatureCNN()
+        obs = jnp.zeros((4, 9, 64, 64), jnp.uint8)
+        params = net.init(K(0), obs)
+        out = net.apply(params, obs)
+        assert out.shape == (4, 512) and out.dtype == jnp.float32
+
+    def test_action_scaling_roundtrip(self):
+        a = jnp.array([[0.5, -0.25], [-1.0, 1.0]])
+        np.testing.assert_allclose(unscale_action(scale_action(a)), a,
+                                   atol=1e-6)
+        # box bounds map to tanh bounds (reference gym_env.py:83-84)
+        np.testing.assert_allclose(
+            np.asarray(scale_action(jnp.array([1.0, 1.0]))), [1.0, 0.3],
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(scale_action(jnp.array([-1.0, -1.0]))), [-1.0, -0.3],
+            atol=1e-6)
+
+    def test_squashed_sample_logprob(self):
+        mu = jnp.zeros((256, 2))
+        log_std = jnp.zeros((256, 2))
+        a, logp = sample_squashed(mu, log_std, K(1))
+        assert np.abs(np.asarray(a)).max() < 1.0
+        # against naive change-of-variables formula
+        pre = jnp.arctanh(jnp.clip(a, -0.999999, 0.999999))
+        naive = (-0.5 * pre ** 2 - 0.5 * jnp.log(2 * jnp.pi)).sum(-1) \
+            - jnp.log(1 - a ** 2 + 1e-6).sum(-1)
+        np.testing.assert_allclose(np.asarray(logp), np.asarray(naive),
+                                   atol=1e-2)
+
+    def test_gaussian_logprob_entropy(self):
+        mu = jnp.zeros((3, 2))
+        log_std = jnp.zeros((3, 2))
+        lp = gaussian_log_prob(mu, log_std, jnp.zeros((3, 2)))
+        np.testing.assert_allclose(np.asarray(lp),
+                                   -np.log(2 * np.pi), atol=1e-5)
+        ent = gaussian_entropy(log_std[0])
+        assert np.isclose(float(ent), 0.5 * 2 * np.log(2 * np.pi * np.e))
+
+    def test_heads(self):
+        obs = jnp.zeros((2, 9, 32, 32), jnp.uint8)
+        act = jnp.zeros((2, 2))
+        sga = SquashedGaussianActor()
+        mu, ls = sga.apply(sga.init(K(0), obs), obs)
+        assert mu.shape == (2, 2) and ls.shape == (2, 2)
+        da = DeterministicActor()
+        a = da.apply(da.init(K(1), obs), obs)
+        assert a.shape == (2, 2) and np.abs(np.asarray(a)).max() <= 1.0
+        qc = DoubleQCritic()
+        q1, q2 = qc.apply(qc.init(K(2), obs, act), obs, act)
+        assert q1.shape == (2,) and q2.shape == (2,)
+        ac = GaussianActorCritic()
+        mu, ls, v = ac.apply(ac.init(K(3), obs), obs)
+        assert v.shape == (2,)
+
+
+class TestBuffer:
+    def _mk(self, e=2, n=8):
+        return replay.create(e, n, (3, 4, 4))
+
+    def test_add_and_ring(self):
+        buf = self._mk()
+        f = jnp.ones((2, 3, 4, 4), jnp.uint8)
+        add = jax.jit(replay.add)
+        for i in range(10):
+            buf = add(buf, f * i, jnp.zeros((2, 2)), jnp.ones((2,)),
+                      jnp.zeros((2,), bool), jnp.zeros((2,), bool))
+        assert int(buf.pos) == 10 and int(buf.filled) == 8
+        # ring wrapped: cell 0 holds frame 8, cell 1 holds frame 9
+        assert int(buf.frames[0, 0, 0, 0, 0]) == 8
+        assert int(buf.frames[0, 1, 0, 0, 0]) == 9
+
+    def test_stack_respects_episode_boundary(self):
+        buf = self._mk(e=1, n=16)
+        add = jax.jit(replay.add)
+        # episode A: frames 1,2,3 (done at 3); episode B: frames 4,5
+        for i, done in [(1, False), (2, False), (3, True), (4, False),
+                        (5, False)]:
+            f = jnp.full((1, 3, 4, 4), i, jnp.uint8)
+            buf = add(buf, f, jnp.zeros((1, 2)), jnp.zeros((1,)),
+                      jnp.full((1,), done), jnp.full((1,), done))
+        # stack ending at cell 4 (frame 5, 2nd frame of episode B) must not
+        # reach back into episode A: expect [4, 4, 5] repeated-padded
+        s = replay._stack_at(buf, jnp.int32(0), jnp.int32(4), 3)
+        vals = np.asarray(s)[::3, 0, 0]
+        np.testing.assert_array_equal(vals, [4, 4, 5])
+        # stack ending at cell 2 (frame 3) sees the full episode A
+        s = replay._stack_at(buf, jnp.int32(0), jnp.int32(2), 3)
+        np.testing.assert_array_equal(np.asarray(s)[::3, 0, 0], [1, 2, 3])
+
+    def test_sample_shapes_and_discount(self):
+        buf = self._mk(e=2, n=32)
+        add = jax.jit(replay.add)
+        for i in range(20):
+            done = (i % 7) == 6
+            buf = add(buf, jnp.full((2, 3, 4, 4), i, jnp.uint8),
+                      jnp.zeros((2, 2)), jnp.ones((2,)),
+                      jnp.full((2,), done), jnp.full((2,), done))
+        batch = jax.jit(replay.sample, static_argnums=(2, 3))(
+            buf, K(0), 64, 3)
+        assert batch["obs"].shape == (64, 9, 4, 4)
+        assert batch["next_obs"].shape == (64, 9, 4, 4)
+        assert batch["discount_mask"].shape == (64,)
+        assert set(np.asarray(batch["discount_mask"]).tolist()) <= {0.0, 1.0}
+
+
+class TestGAE:
+    def test_matches_manual(self):
+        # T=3, E=1, no dones
+        r = jnp.array([[1.0], [1.0], [1.0]])
+        v = jnp.array([[0.5], [0.5], [0.5]])
+        d = jnp.zeros((3, 1), bool)
+        last_v = jnp.array([0.5])
+        gamma, lam = 0.9, 0.8
+        adv, ret = compute_gae(r, v, d, last_v, gamma, lam)
+        # manual backward recursion
+        expect = np.zeros(3)
+        a_next, v_next = 0.0, 0.5
+        for t in [2, 1, 0]:
+            delta = 1.0 + gamma * v_next - 0.5
+            a = delta + gamma * lam * a_next
+            expect[t] = a
+            a_next, v_next = a, 0.5
+        np.testing.assert_allclose(np.asarray(adv)[:, 0], expect, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ret), np.asarray(adv + v))
+
+    def test_done_cuts_bootstrap(self):
+        r = jnp.array([[0.0], [0.0]])
+        v = jnp.array([[0.0], [0.0]])
+        d = jnp.array([[True], [False]])
+        adv, _ = compute_gae(r, v, d, jnp.array([100.0]), 0.99, 0.95)
+        # step 0 ends an episode: no value flows back from step 1
+        assert float(adv[0, 0]) == 0.0
+
+
+class TestFrameStackOps:
+    def test_init_and_update(self):
+        obs = jnp.arange(2 * 3 * 2 * 2, dtype=jnp.uint8).reshape(2, 3, 2, 2)
+        st = init_stack(obs, 3)
+        assert st.shape == (2, 9, 2, 2)
+        np.testing.assert_array_equal(np.asarray(st[:, :3]),
+                                      np.asarray(st[:, 3:6]))
+        new = obs + 100
+        st2 = update_stack(st, new, jnp.array([False, True]))
+        # env 0 shifted: newest slice is `new`, middle is old obs
+        np.testing.assert_array_equal(np.asarray(st2[0, 6:]),
+                                      np.asarray(new[0]))
+        np.testing.assert_array_equal(np.asarray(st2[0, 3:6]),
+                                      np.asarray(obs[0]))
+        # env 1 (done) refilled with the new frame
+        np.testing.assert_array_equal(np.asarray(st2[1, :3]),
+                                      np.asarray(new[1]))
+        np.testing.assert_array_equal(np.asarray(st2[1, 6:]),
+                                      np.asarray(new[1]))
+
+
+def _tiny_batch(n=8, res=16, c=9):
+    k = K(42)
+    return dict(
+        obs=jax.random.randint(k, (n, c, res, res), 0, 255, jnp.uint8),
+        action=jax.random.uniform(k, (n, 2), minval=-1, maxval=1),
+        reward=jnp.ones((n,)),
+        next_obs=jax.random.randint(K(1), (n, c, res, res), 0, 255,
+                                    jnp.uint8),
+        discount_mask=jnp.ones((n,)),
+        done=jnp.zeros((n,), bool),
+    )
+
+
+class TestLearners:
+    def test_sac_update_moves_params(self):
+        sac = SAC(SACConfig(batch_size=8))
+        st = sac.init(K(0), obs_res=16)
+        batch = _tiny_batch()
+        st2, m = jax.jit(sac.update)(st, batch, K(1))
+        assert int(st2.step) == 1
+        leaf0 = jax.tree.leaves(st.actor_params)[0]
+        leaf1 = jax.tree.leaves(st2.actor_params)[0]
+        assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+        assert np.isfinite(float(m["critic_loss"]))
+
+    def test_td3_delayed_policy(self):
+        td3 = TD3(TD3Config(batch_size=8, policy_delay=2))
+        st = td3.init(K(0), obs_res=16)
+        batch = _tiny_batch()
+        up = jax.jit(td3.update)
+        st1, m1 = up(st, batch, K(1))   # step 0: actor updates
+        a0 = jax.tree.leaves(st.actor_params)[0]
+        a1 = jax.tree.leaves(st1.actor_params)[0]
+        assert not np.allclose(np.asarray(a0), np.asarray(a1))
+        st2, m2 = up(st1, batch, K(2))  # step 1: actor frozen
+        a2 = jax.tree.leaves(st2.actor_params)[0]
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    def test_ppo_update(self):
+        ppo = PPO(PPOConfig(batch_size=8, n_epochs=2, n_steps=4))
+        st = ppo.init(K(0), obs_res=16)
+        t, e = 4, 4
+        rollout = dict(
+            obs=jax.random.randint(K(1), (t, e, 9, 16, 16), 0, 255,
+                                   jnp.uint8),
+            action=jax.random.uniform(K(2), (t, e, 2), minval=-1, maxval=1),
+            log_prob=jnp.zeros((t, e)),
+            value=jnp.zeros((t, e)),
+            reward=jnp.ones((t, e)),
+            done=jnp.zeros((t, e), bool),
+        )
+        st2, m = jax.jit(ppo.update)(st, rollout, jnp.zeros((e,)), K(3))
+        assert np.isfinite(float(m["loss"]))
+        assert int(st2.step) == 1
+
+    def test_a2c_update(self):
+        a2c = A2C(A2CConfig(n_steps=4))
+        st = a2c.init(K(0), obs_res=16)
+        t, e = 4, 4
+        rollout = dict(
+            obs=jax.random.randint(K(1), (t, e, 9, 16, 16), 0, 255,
+                                   jnp.uint8),
+            action=jax.random.uniform(K(2), (t, e, 2), minval=-1, maxval=1),
+            log_prob=jnp.zeros((t, e)),
+            value=jnp.zeros((t, e)),
+            reward=jnp.ones((t, e)),
+            done=jnp.zeros((t, e), bool),
+        )
+        st2, m = jax.jit(a2c.update)(st, rollout, jnp.zeros((e,)), K(3))
+        assert np.isfinite(float(m["loss"]))

@@ -1,0 +1,153 @@
+"""SAC learner (jitted, device-resident).
+
+Matches the reference's SB3 SAC baseline (examples/rl_training.py:166-168:
+``SAC("CnnPolicy", env, buffer_size=100000)``) with SB3-default
+hyperparameters: lr 3e-4, gamma 0.99, tau 0.005, batch 256, auto entropy
+tuning with target entropy = -action_dim.
+
+Everything is a pure function over an `SACState` pytree so the whole
+update (actor + twin critics + temperature + target polyak) is one XLA
+program; under data-parallel training, gradients are `psum`-ed over the mesh
+by the caller (parallel/learner.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from torchdriveenv_tpu.models.policies import (
+    DoubleQCritic,
+    SquashedGaussianActor,
+    sample_squashed,
+)
+
+
+@struct.dataclass
+class SACConfig:
+    lr: float = 3e-4
+    gamma: float = 0.99
+    tau: float = 0.005
+    batch_size: int = 256
+    buffer_size: int = 100_000      # reference rl_training.py:168
+    learning_starts: int = 100
+    target_entropy: float = -2.0    # -action_dim (SB3 "auto")
+    init_alpha: float = 1.0
+
+
+@struct.dataclass
+class SACState:
+    actor_params: Any
+    critic_params: Any
+    target_critic_params: Any
+    log_alpha: jnp.ndarray
+    actor_opt: Any
+    critic_opt: Any
+    alpha_opt: Any
+    step: jnp.ndarray
+
+
+class SAC:
+    """Factory holding modules + optimizers; all methods are pure/jittable."""
+
+    def __init__(self, cfg: SACConfig = SACConfig(), obs_channels: int = 9):
+        self.cfg = cfg
+        self.actor = SquashedGaussianActor()
+        self.critic = DoubleQCritic()
+        self.obs_channels = obs_channels
+        self.opt = optax.adam(cfg.lr)
+
+    def init(self, key: jnp.ndarray, obs_res: int = 64) -> SACState:
+        k1, k2 = jax.random.split(key)
+        dummy_obs = jnp.zeros((1, self.obs_channels, obs_res, obs_res), jnp.uint8)
+        dummy_act = jnp.zeros((1, 2))
+        actor_params = self.actor.init(k1, dummy_obs)
+        critic_params = self.critic.init(k2, dummy_obs, dummy_act)
+        log_alpha = jnp.log(jnp.asarray(self.cfg.init_alpha))
+        return SACState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_critic_params=critic_params,
+            log_alpha=log_alpha,
+            actor_opt=self.opt.init(actor_params),
+            critic_opt=self.opt.init(critic_params),
+            alpha_opt=self.opt.init(log_alpha),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def select_action(self, state: SACState, obs: jnp.ndarray,
+                      key: jnp.ndarray, deterministic: bool = False
+                      ) -> jnp.ndarray:
+        """Normalized (-1,1) action; caller rescales to the env box."""
+        mu, log_std = self.actor.apply(state.actor_params, obs)
+        if deterministic:
+            return jnp.tanh(mu)
+        a, _ = sample_squashed(mu, log_std, key)
+        return a
+
+    def update(self, state: SACState, batch: Dict[str, jnp.ndarray],
+               key: jnp.ndarray) -> Tuple[SACState, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        k_next, k_pi = jax.random.split(key)
+        alpha = jnp.exp(state.log_alpha)
+
+        # --- critic target
+        mu_n, std_n = self.actor.apply(state.actor_params, batch["next_obs"])
+        next_a, next_logp = sample_squashed(mu_n, std_n, k_next)
+        tq1, tq2 = self.critic.apply(state.target_critic_params,
+                                     batch["next_obs"], next_a)
+        target_v = jnp.minimum(tq1, tq2) - alpha * next_logp
+        target_q = batch["reward"] + cfg.gamma * batch["discount_mask"] * target_v
+        target_q = jax.lax.stop_gradient(target_q)
+
+        def critic_loss_fn(params):
+            q1, q2 = self.critic.apply(params, batch["obs"], batch["action"])
+            loss = ((q1 - target_q) ** 2 + (q2 - target_q) ** 2).mean()
+            return loss, (q1.mean(), q2.mean())
+
+        (critic_loss, (q1m, q2m)), critic_grads = jax.value_and_grad(
+            critic_loss_fn, has_aux=True)(state.critic_params)
+
+        def actor_loss_fn(params):
+            mu, log_std = self.actor.apply(params, batch["obs"])
+            a, logp = sample_squashed(mu, log_std, k_pi)
+            q1, q2 = self.critic.apply(state.critic_params, batch["obs"], a)
+            q = jnp.minimum(q1, q2)
+            loss = (alpha * logp - q).mean()
+            return loss, logp.mean()
+
+        (actor_loss, logp_mean), actor_grads = jax.value_and_grad(
+            actor_loss_fn, has_aux=True)(state.actor_params)
+
+        def alpha_loss_fn(log_alpha):
+            return -(jnp.exp(log_alpha)
+                     * (logp_mean + cfg.target_entropy)), None
+
+        (alpha_loss, _), alpha_grad = jax.value_and_grad(
+            alpha_loss_fn, has_aux=True)(state.log_alpha)
+
+        c_up, critic_opt = self.opt.update(critic_grads, state.critic_opt)
+        a_up, actor_opt = self.opt.update(actor_grads, state.actor_opt)
+        al_up, alpha_opt = self.opt.update(alpha_grad, state.alpha_opt)
+
+        new_critic = optax.apply_updates(state.critic_params, c_up)
+        new_target = jax.tree.map(
+            lambda t, o: t * (1.0 - cfg.tau) + o * cfg.tau,
+            state.target_critic_params, new_critic)
+
+        new_state = state.replace(
+            actor_params=optax.apply_updates(state.actor_params, a_up),
+            critic_params=new_critic,
+            target_critic_params=new_target,
+            log_alpha=optax.apply_updates(state.log_alpha, al_up),
+            actor_opt=actor_opt, critic_opt=critic_opt, alpha_opt=alpha_opt,
+            step=state.step + 1,
+        )
+        metrics = dict(critic_loss=critic_loss, actor_loss=actor_loss,
+                       alpha_loss=alpha_loss, alpha=alpha,
+                       q1=q1m, q2=q2m, entropy=-logp_mean)
+        return new_state, metrics

@@ -1,0 +1,212 @@
+"""Training driver CLI — reference `examples/rl_training.py` equivalent.
+
+Usage:
+    python -m torchdriveenv_tpu.rl.train --config_file path/to/config.yml
+    python -m torchdriveenv_tpu.rl.train --algorithm sac --total_timesteps 1e5
+
+Loads the same YAML schema as the reference (RlTrainingConfig; reference
+examples/common.py:29-47, env_configs/*.yml load unchanged), builds the
+jitted rollout+learner program for the chosen algorithm, and runs:
+  - periodic eval on the validation suite AND the training suite, recording
+    the 9-metric benchmark set (reference rl_training.py:99-108),
+  - metric logging to stdout + JSONL (+ TensorBoard if available),
+  - Orbax checkpointing of the FULL train state (params, opt state, env
+    states, replay buffer, PRNG keys) for resumable runs — the reference
+    only saves model weights via wandb (rl_training.py:210-215).
+
+Env parallelism: `parallel_env_num` envs as one sharded batch axis over all
+local devices (reference: N OS processes, rl_training.py:159).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchdriveenv_tpu.config import (
+    BaselineAlgorithm,
+    RlTrainingConfig,
+    load_rl_training_config,
+)
+from torchdriveenv_tpu.env.batched import make_env_fns
+from torchdriveenv_tpu.maps.arrays import load_assets
+from torchdriveenv_tpu.models.policies import scale_action
+from torchdriveenv_tpu.parallel.train_step import (
+    make_offpolicy_train_fns,
+    make_onpolicy_train_fns,
+)
+from torchdriveenv_tpu.rl.evaluate import make_evaluator
+
+
+def build_agent(algo: BaselineAlgorithm, obs_channels: int):
+    if algo == BaselineAlgorithm.sac:
+        from torchdriveenv_tpu.rl.sac import SAC, SACConfig
+        return SAC(SACConfig(), obs_channels), False
+    if algo == BaselineAlgorithm.td3:
+        from torchdriveenv_tpu.rl.td3 import TD3, TD3Config
+        return TD3(TD3Config(), obs_channels), False
+    if algo == BaselineAlgorithm.ppo:
+        from torchdriveenv_tpu.rl.ppo import PPO, PPOConfig
+        return PPO(PPOConfig(), obs_channels), True
+    if algo == BaselineAlgorithm.a2c:
+        from torchdriveenv_tpu.rl.a2c import A2C, A2CConfig
+        return A2C(A2CConfig(), obs_channels), True
+    raise ValueError(f"unknown algorithm {algo}")
+
+
+class MetricLogger:
+    """stdout + JSONL (+ TensorBoard when importable) metrics sink."""
+
+    def __init__(self, log_dir: str, run_name: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"{run_name}.jsonl")
+        self._f = open(self.path, "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(os.path.join(log_dir, run_name))
+        except Exception:
+            pass
+
+    def log(self, step: int, metrics: dict, prefix: str = ""):
+        flat = {f"{prefix}{k}": float(np.asarray(v))
+                for k, v in metrics.items()}
+        self._f.write(json.dumps({"step": step, **flat}) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            for k, v in flat.items():
+                self._tb.add_scalar(k, v, step)
+        print(f"[{step}] " + " ".join(f"{k}={v:.4g}" for k, v in flat.items()),
+              flush=True)
+
+
+def save_checkpoint(ckpt_dir: str, step: int, carry):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+    ocp.PyTreeCheckpointer().save(path, jax.device_get(carry), force=True)
+
+
+def restore_checkpoint(path: str, carry_like):
+    import orbax.checkpoint as ocp
+    restored = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(path), item=jax.device_get(carry_like))
+    return jax.tree.map(jnp.asarray, restored)
+
+
+def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
+          max_wall_s: Optional[float] = None):
+    algo = cfg.algorithm or BaselineAlgorithm.sac
+    env_cfg = cfg.env
+    num_envs = cfg.parallel_env_num
+    fs = env_cfg.frame_stack
+    agent, on_policy = build_agent(algo, obs_channels=3 * fs)
+
+    run_name = f"{algo.value}-{int(time.time())}"
+    logger = MetricLogger(cfg.log_dir, run_name)
+    train_assets = load_assets("train")
+    val_assets = load_assets("val")
+
+    if on_policy:
+        init_fn, train_fn = make_onpolicy_train_fns(env_cfg, agent, num_envs)
+        steps_per_iter = agent.cfg.n_steps * num_envs
+    else:
+        # SB3 default train_freq=1: one gradient step per lockstep env step
+        env_steps_per_iter = 8
+        init_fn, train_fn = make_offpolicy_train_fns(
+            env_cfg, agent, num_envs,
+            buffer_capacity=max(agent.cfg.buffer_size // num_envs, 256),
+            steps_per_iter=env_steps_per_iter,
+            updates_per_iter=env_steps_per_iter)
+        steps_per_iter = env_steps_per_iter * num_envs
+
+    carry = jax.jit(init_fn)(train_assets, jax.random.PRNGKey(
+        env_cfg.seed if env_cfg.seed is not None else 0))
+    if resume_from:
+        carry = restore_checkpoint(resume_from, carry)
+    train_step = jax.jit(train_fn, donate_argnums=(1,))
+
+    # --- evaluators (deterministic policy, reference rl_training.py:185-203)
+    def make_eval(assets, n_episodes):
+        reset_fn, step_fn = make_env_fns(env_cfg, assets, render=True)
+
+        def policy(agent_state, stack):
+            out = agent.select_action(agent_state, stack,
+                                      jax.random.PRNGKey(0),
+                                      deterministic=True)
+            return out[0] if isinstance(out, tuple) else out
+
+        ev = make_evaluator(reset_fn, step_fn, policy, fs, scale_action,
+                            max_steps=env_cfg.max_environment_steps)
+        return jax.jit(lambda key, agent_state: ev(
+            jax.random.split(key, n_episodes), agent_state))
+
+    n_ep = max(cfg.eval_val_callback.eval_n_episodes, 1)
+    eval_val = make_eval(val_assets, n_ep)
+    eval_train = make_eval(train_assets, n_ep)
+
+    total = int(cfg.total_timesteps)
+    eval_every = max(cfg.eval_val_callback.n_steps, steps_per_iter)
+    ckpt_every = cfg.wandb_callback.model_save_freq
+    ckpt_dir = cfg.checkpoint_dir or os.path.join("models", run_name)
+
+    env_steps = int(np.asarray(carry.env_steps))
+    next_eval = 0
+    next_ckpt = ckpt_every
+    t_start = time.time()
+    k_eval = jax.random.PRNGKey(10_000)
+
+    while env_steps < total:
+        if max_wall_s is not None and time.time() - t_start > max_wall_s:
+            print("wall-clock budget reached", flush=True)
+            break
+        carry, metrics = train_step(train_assets, carry)
+        env_steps = int(np.asarray(carry.env_steps))
+        logger.log(env_steps, metrics, prefix="train/")
+
+        if env_steps >= next_eval:
+            next_eval = env_steps + eval_every
+            k_eval, k1, k2 = jax.random.split(k_eval, 3)
+            logger.log(env_steps, eval_val(k1, carry.agent_state),
+                       prefix="eval/")
+            logger.log(env_steps, eval_train(k2, carry.agent_state),
+                       prefix="eval_train/")
+        if env_steps >= next_ckpt:
+            next_ckpt = env_steps + ckpt_every
+            save_checkpoint(ckpt_dir, env_steps, carry)
+
+    save_checkpoint(ckpt_dir, env_steps, carry)
+    return carry
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config_file", type=str, default=None)
+    ap.add_argument("--algorithm", type=str, default=None)
+    ap.add_argument("--total_timesteps", type=float, default=None)
+    ap.add_argument("--parallel_env_num", type=int, default=None)
+    ap.add_argument("--resume_from", type=str, default=None)
+    ap.add_argument("--max_wall_s", type=float, default=None)
+    args = ap.parse_args()
+
+    if args.config_file:
+        cfg = load_rl_training_config(args.config_file)
+    else:
+        cfg = RlTrainingConfig()
+    if args.algorithm:
+        cfg.algorithm = BaselineAlgorithm(args.algorithm)
+    if args.total_timesteps is not None:
+        cfg.total_timesteps = int(args.total_timesteps)
+    if args.parallel_env_num is not None:
+        cfg.parallel_env_num = args.parallel_env_num
+    train(cfg, resume_from=args.resume_from, max_wall_s=args.max_wall_s)
+
+
+if __name__ == "__main__":
+    main()
