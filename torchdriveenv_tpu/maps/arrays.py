@@ -141,6 +141,20 @@ def _pixel_coords(maps: MapArrays, town: jnp.ndarray, xy: jnp.ndarray):
     return (xy - origin) / maps.scale - 0.5
 
 
+def _gather_town_grid(grid: jnp.ndarray, town: jnp.ndarray, ix: jnp.ndarray,
+                      iy: jnp.ndarray) -> jnp.ndarray:
+    """Gather grid[town, ix, iy] without ever materializing grid[town].
+
+    Under `vmap` over envs, `grid[town]` lowers to a per-env (G, G) slice —
+    a catastrophic (B, G, G) temp on TPU (16 GB at B=4096, G=1024). Flattened
+    1-D indexing keeps the gather elementwise over the query points only.
+    """
+    g = grid.shape[-1]
+    flat = grid.reshape(-1)
+    idx = (town * g + ix) * g + iy
+    return flat[idx]
+
+
 def sample_sdf(maps: MapArrays, town: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample of the drivable-area SDF (meters, + inside) at world
     coords xy (..., 2). Returns (...,)."""
@@ -150,11 +164,10 @@ def sample_sdf(maps: MapArrays, town: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarr
     i0 = jnp.floor(p).astype(jnp.int32)
     f = p - i0
     i1 = jnp.minimum(i0 + 1, g - 1)
-    grid = maps.sdf[town]  # (G, G)
-    v00 = grid[i0[..., 0], i0[..., 1]].astype(jnp.float32)
-    v01 = grid[i0[..., 0], i1[..., 1]].astype(jnp.float32)
-    v10 = grid[i1[..., 0], i0[..., 1]].astype(jnp.float32)
-    v11 = grid[i1[..., 0], i1[..., 1]].astype(jnp.float32)
+    v00 = _gather_town_grid(maps.sdf, town, i0[..., 0], i0[..., 1]).astype(jnp.float32)
+    v01 = _gather_town_grid(maps.sdf, town, i0[..., 0], i1[..., 1]).astype(jnp.float32)
+    v10 = _gather_town_grid(maps.sdf, town, i1[..., 0], i0[..., 1]).astype(jnp.float32)
+    v11 = _gather_town_grid(maps.sdf, town, i1[..., 0], i1[..., 1]).astype(jnp.float32)
     fx, fy = f[..., 0], f[..., 1]
     return ((v00 * (1 - fx) + v10 * fx) * (1 - fy)
             + (v01 * (1 - fx) + v11 * fx) * fy)
@@ -167,4 +180,5 @@ def sample_dir_angle(maps: MapArrays, town: jnp.ndarray, xy: jnp.ndarray) -> jnp
     g = maps.dir_angle.shape[-1]
     p = _pixel_coords(maps, town, xy)
     i = jnp.clip(jnp.round(p).astype(jnp.int32), 0, g - 1)
-    return maps.dir_angle[town][i[..., 0], i[..., 1]].astype(jnp.float32)
+    return _gather_town_grid(maps.dir_angle, town, i[..., 0],
+                             i[..., 1]).astype(jnp.float32)

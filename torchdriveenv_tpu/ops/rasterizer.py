@@ -21,10 +21,25 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
-from torchdriveenv_tpu.maps.arrays import MapArrays, sample_sdf
+from torchdriveenv_tpu.maps.arrays import (
+    MapArrays,
+    _gather_town_grid,
+    _pixel_coords,
+)
 from torchdriveenv_tpu.ops.traffic_lights import LightState, light_states_at
+
+
+def _sample_sdf_nearest(maps: MapArrays, town: jnp.ndarray,
+                        xy: jnp.ndarray) -> jnp.ndarray:
+    """Single-gather nearest-neighbor SDF sample (render-only path)."""
+    g = maps.sdf.shape[-1]
+    p = _pixel_coords(maps, town, xy)
+    i = jnp.clip(jnp.round(p).astype(jnp.int32), 0, g - 1)
+    return _gather_town_grid(maps.sdf, town, i[..., 0],
+                             i[..., 1]).astype(jnp.float32)
 
 # palette (RGB, 0..255)
 COLOR_BACKGROUND = jnp.array([15.0, 15.0, 20.0])
@@ -37,6 +52,8 @@ COLOR_LIGHT = jnp.array([[40.0, 200.0, 60.0],    # green
                          [235.0, 50.0, 40.0]])   # red
 WAYPOINT_RADIUS = 2.0      # meters
 STOPLINE_HALF_THICK = 0.7  # meters
+RENDER_MAX_AGENTS = 16     # per-pixel OBB tests after visibility culling
+RENDER_MAX_LIGHTS = 4      # per-pixel stopline tests after visibility culling
 
 
 def _pixel_world_coords(ego_state: jnp.ndarray, res: int, fov: float,
@@ -70,14 +87,15 @@ def _obb_coverage(points: jnp.ndarray, states: jnp.ndarray, sizes: jnp.ndarray,
     return jnp.any(inside, axis=-1)
 
 
-def _segment_distance(points: jnp.ndarray, p0: jnp.ndarray, p1: jnp.ndarray) -> jnp.ndarray:
-    """points (..., 2) vs segments (L, 2) -> (..., L) distances."""
+def _segment_distance2(points: jnp.ndarray, p0: jnp.ndarray, p1: jnp.ndarray) -> jnp.ndarray:
+    """points (..., 2) vs segments (L, 2) -> (..., L) SQUARED distances
+    (no per-pixel sqrt — callers compare against squared thresholds)."""
     seg = p1 - p0                                   # (L, 2)
-    seg_len2 = jnp.maximum(jnp.sum(seg * seg, axis=-1), 1e-9)
+    inv_len2 = 1.0 / jnp.maximum(jnp.sum(seg * seg, axis=-1), 1e-9)
     rel = points[..., None, :] - p0[None, None, :, :]
-    t = jnp.clip(jnp.sum(rel * seg[None, None], axis=-1) / seg_len2, 0.0, 1.0)
+    t = jnp.clip(jnp.sum(rel * seg[None, None], axis=-1) * inv_len2, 0.0, 1.0)
     proj = rel - t[..., None] * seg[None, None]
-    return jnp.linalg.norm(proj, axis=-1)
+    return jnp.sum(proj * proj, axis=-1)
 
 
 def render_egocentric(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
@@ -95,8 +113,9 @@ def render_egocentric(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
     ego = agent_states[0]
     pts = _pixel_world_coords(ego, res, fov, left_handed)      # (res, res, 2)
 
-    # road layer from the SDF grid
-    sdf = sample_sdf(maps, town, pts)
+    # road layer from the SDF grid (nearest-neighbor: the layer is a binary
+    # road/offroad fill, bilinear adds 3 extra gathers/px for nothing)
+    sdf = _sample_sdf_nearest(maps, town, pts)
     road = sdf > 0.0
 
     # current waypoint target disc (reference renders WaypointGoal,
@@ -104,32 +123,59 @@ def render_egocentric(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
     w = waypoints.shape[0]
     tgt = waypoints[jnp.clip(target_idx, 0, w - 1)]
     tgt_valid = target_idx < n_waypoints
-    wp_hit = (jnp.linalg.norm(pts - tgt[None, None, :], axis=-1)
-              < WAYPOINT_RADIUS) & tgt_valid
+    d_wp = pts - tgt[None, None, :]
+    wp_hit = (jnp.sum(d_wp * d_wp, axis=-1)
+              < WAYPOINT_RADIUS * WAYPOINT_RADIUS) & tgt_valid
 
-    # stoplines tinted by live light state
-    sl_dist = _segment_distance(pts, maps.stop_p0[town], maps.stop_p1[town])
-    sl_hit = (sl_dist < STOPLINE_HALF_THICK) & maps.light_mask[town][None, None, :]
-    states_l = light_states_at(maps, town, t)                  # (L,)
+    # stoplines tinted by live light state; cull to the RENDER_MAX_LIGHTS
+    # nearest lights (only lights inside the FOV window can color a pixel)
+    p0_all, p1_all = maps.stop_p0[town], maps.stop_p1[town]
+    mid = (p0_all + p1_all) * 0.5
+    l_d2 = jnp.sum((mid - ego[None, :2]) ** 2, axis=-1)
+    half_diag = fov * 0.7071 + 8.0
+    l_visible = maps.light_mask[town] & (l_d2 < half_diag * half_diag)
+    lk = min(RENDER_MAX_LIGHTS, p0_all.shape[0])
+    _, l_top = jax.lax.top_k(jnp.where(l_visible, -l_d2, -jnp.inf), lk)
+    sl_dist2 = _segment_distance2(pts, p0_all[l_top], p1_all[l_top])
+    sl_hit = (sl_dist2 < STOPLINE_HALF_THICK * STOPLINE_HALF_THICK) \
+        & l_visible[l_top][None, None, :]
+    states_l = light_states_at(maps, town, t)[l_top]           # (lk,)
     sl_any = jnp.any(sl_hit, axis=-1)
     sl_state = states_l[jnp.argmax(sl_hit, axis=-1)]           # first hit wins
-    sl_color = COLOR_LIGHT[jnp.clip(sl_state, 0, 2)]
+    # channel-leading color lookup: (3, 3)[:, state] -> (3, res, res), so the
+    # composite below never needs an HWC->CHW relayout (expensive on TPU)
+    sl_color = COLOR_LIGHT.T[:, jnp.clip(sl_state, 0, 2)]
 
-    # agent boxes: NPCs, then ego on top (highlighted)
+    # agent boxes: NPCs, then ego on top (highlighted). Off-screen agents
+    # can't color any pixel, so cull to the RENDER_MAX_AGENTS nearest before
+    # the per-pixel loop — 96 OBB tests/px -> 16 (the FOV window physically
+    # holds few agents: spawns keep >=9 m spacing, reference iai.py FOV).
     sizes = agent_attrs[:, :2]
-    npc_mask = present & (jnp.arange(agent_states.shape[0]) > 0)
-    npc_hit = _obb_coverage(pts, agent_states, sizes, npc_mask)
+    a = agent_states.shape[0]
+    npc_mask = present & (jnp.arange(a) > 0)
+    half_diag = fov * 0.7071 + 4.0
+    d2 = jnp.sum((agent_states[:, :2] - ego[None, :2]) ** 2, axis=-1)
+    visible = npc_mask & (d2 < half_diag * half_diag)
+    k = min(RENDER_MAX_AGENTS, a)
+    _, top = jax.lax.top_k(jnp.where(visible, -d2, -jnp.inf), k)
+    npc_hit = _obb_coverage(pts, agent_states[top], sizes[top], visible[top])
     ego_hit = _obb_coverage(pts, agent_states[:1], sizes[:1], present[:1])
 
-    img = jnp.broadcast_to(COLOR_BACKGROUND, (res, res, 3))
-    img = jnp.where(road[..., None], COLOR_ROAD, img)
-    img = jnp.where(wp_hit[..., None], COLOR_WAYPOINT, img)
-    img = jnp.where(sl_any[..., None], sl_color, img)
-    img = jnp.where(npc_hit[..., None], COLOR_NPC, img)
-    ego_color = COLOR_EGO if highlight_ego else COLOR_NPC
-    img = jnp.where(ego_hit[..., None], ego_color, img)
+    # CHW-native composite: masks are (res, res), colors are (3, 1, 1) —
+    # the output is born in the observation layout (3, res, res) and no
+    # transpose/relayout of the minor dims is ever emitted.
+    def c(col):
+        return col[:, None, None]
 
-    return jnp.transpose(img, (2, 0, 1)).astype(jnp.uint8)
+    img = jnp.broadcast_to(c(COLOR_BACKGROUND), (3, res, res))
+    img = jnp.where(road[None], c(COLOR_ROAD), img)
+    img = jnp.where(wp_hit[None], c(COLOR_WAYPOINT), img)
+    img = jnp.where(sl_any[None], sl_color, img)
+    img = jnp.where(npc_hit[None], c(COLOR_NPC), img)
+    ego_color = COLOR_EGO if highlight_ego else COLOR_NPC
+    img = jnp.where(ego_hit[None], c(ego_color), img)
+
+    return img.astype(jnp.uint8)
 
 
 def observation_shape(res: int = 64) -> Tuple[int, int, int]:
