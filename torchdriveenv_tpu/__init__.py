@@ -31,10 +31,10 @@ def _register_gym():
         import gymnasium as gym
     except Exception:  # pragma: no cover - gym always present in CI image
         return
-    def _entry(args):
+    def _entry(args=None):
         from torchdriveenv_tpu.env.gym_adapter import make_gym_env
 
-        return make_gym_env(**args)
+        return make_gym_env(**(args or {}))
 
     try:
         gym.register(id="torchdriveenv-v0", entry_point=_entry)

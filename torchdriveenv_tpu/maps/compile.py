@@ -23,6 +23,8 @@ try:
 except ImportError:  # pragma: no cover
     ndimage = None
 
+from torchdriveenv_tpu.maps import native
+
 TOWNS = ["Town01", "Town02", "Town03", "Town07", "Town10HD"]
 GRID = 1024            # pixels per side
 SCALE = 0.5            # meters per pixel
@@ -190,6 +192,9 @@ def compile_town_map(segments, points):
     if np.any(hi - lo > extent):
         log(f"WARNING: content extent {hi - lo} exceeds grid extent {extent}")
 
+    if native.available():
+        return compile_town_map_native(segments, origin)
+
     drivable = np.zeros((GRID, GRID), dtype=bool)
     dir_best_d = np.full((GRID, GRID), 1e9, dtype=np.float64)
     dir_angle = np.zeros((GRID, GRID), dtype=np.float64)
@@ -208,6 +213,22 @@ def compile_town_map(segments, points):
     _, idx = ndimage.distance_transform_edt(~covered, return_indices=True)
     dir_full = dir_angle[idx[0], idx[1]]
     return origin.astype(np.float32), sdf, dir_full.astype(np.float32)
+
+
+def compile_town_map_native(segments, origin):
+    """Grid passes on the C++ kernels (csrc/mapkit.cpp via maps/native.py)."""
+    drivable = np.zeros((GRID, GRID), dtype=np.uint8)
+    dir_best_d = np.full((GRID, GRID), 1e9, dtype=np.float32)
+    dir_angle = np.zeros((GRID, GRID), dtype=np.float32)
+    p0 = np.asarray([s[0] for s in segments], np.float64).reshape(-1, 2)
+    p1 = np.asarray([s[1] for s in segments], np.float64).reshape(-1, 2)
+    hw = np.asarray([s[2] for s in segments], np.float64)
+    native.stamp_segments(GRID, origin, SCALE, p0, p1, hw,
+                          drivable, dir_best_d, dir_angle)
+    sdf = native.sdf(drivable, SCALE)
+    covered = (dir_best_d < 1e8).astype(np.uint8)
+    dir_full = native.propagate_dir(covered, dir_angle)
+    return origin.astype(np.float32), sdf, dir_full
 
 
 def synthesize_lights(suites, town):
