@@ -37,17 +37,29 @@ def main():
         light_mask=np.zeros((len(mc.TOWNS), mc.MAX_LIGHTS), bool),
         light_durations=np.asarray([mc.LIGHT_GREEN, mc.LIGHT_YELLOW, mc.LIGHT_RED], np.float32),
     )
+    seg_data = np.zeros((len(mc.TOWNS), mc.SEG_GRID, mc.SEG_GRID,
+                         mc.SEG_K, mc.SEG_F), np.float32)
+    seg_data[..., 4] = -1.0
+    maps.update(
+        seg_data=seg_data,
+        seg_cell=np.float32(mc.SEG_CELL),
+        seg_cell_n=np.zeros((len(mc.TOWNS), mc.SEG_GRID, mc.SEG_GRID), np.int32),
+    )
     for ti, town in enumerate(mc.TOWNS):
-        segs, pts = mc.town_content(suites, background, town)
+        segs, pts, render_segs = mc.town_content(suites, background, town)
         origin, sdf, dirs = mc.compile_town_map(segs, pts)
         maps["origin"][ti] = origin
         maps["sdf"][ti] = sdf.astype(np.float16)
         maps["dir_angle"][ti] = dirs.astype(np.float16)
+        seg_idx, k_max = mc.compile_segment_index(render_segs, origin)
+        for k, v in seg_idx.items():
+            maps[k][ti] = v
         lights, nl = mc.synthesize_lights(suites, town)
         for k, v in lights.items():
             maps[k][ti] = v
         drv = float((sdf > 0).mean())
-        mc.log(f"{town}: {len(segs)} segments, drivable {drv:.1%}, {nl} lights, origin {origin}")
+        mc.log(f"{town}: {len(segs)} segments, drivable {drv:.1%}, {nl} lights, "
+               f"seg-index kmax {k_max}, origin {origin}")
 
     np.savez_compressed(os.path.join(args.out, "maps_v1.npz"), town_names=np.array(mc.TOWNS), **maps)
     np.savez_compressed(os.path.join(args.out, "suite_train_v1.npz"), **mc.compile_suite(suites["train"]))

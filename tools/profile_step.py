@@ -4,7 +4,11 @@ backend (TPU by default). Guides kernel-optimization work; not part of the
 public API."""
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -30,6 +30,7 @@ class RendererConfig:
     obs_fov: float = 70.0      # meters visible across the observation window
     render_waypoints: bool = True
     render_traffic_lights: bool = True
+    backend: str = "auto"      # "pallas" (TPU kernel) | "xla" twin | "auto"
 
 
 class CollisionMetric(str, enum.Enum):

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from torchdriveenv_tpu.config import EnvConfig
 from torchdriveenv_tpu.env import core
 from torchdriveenv_tpu.maps.arrays import Assets
-from torchdriveenv_tpu.ops.rasterizer import render_egocentric
+from torchdriveenv_tpu.ops.rasterizer_pallas import render_observation
 
 
 class StepOutput(NamedTuple):
@@ -33,10 +33,14 @@ class StepOutput(NamedTuple):
     info: Dict[str, jnp.ndarray]
 
 
-def _obs_single(cfg: EnvConfig, assets: Assets, state: core.EnvState) -> jnp.ndarray:
+def _obs_batched(cfg: EnvConfig, assets: Assets, state: core.EnvState) -> jnp.ndarray:
+    """Batched observation render (state carries a leading env axis).
+
+    Dispatches to the fused Pallas rasterizer on TPU and its XLA twin
+    elsewhere (ops/rasterizer_pallas.py)."""
     rcfg = cfg.simulator.renderer
     t = state.time0 + state.step_idx.astype(jnp.float32) * cfg.simulator.dt
-    return render_egocentric(
+    return render_observation(
         assets.maps, state.town, t,
         state.agent_states, state.agent_attrs, state.present,
         assets.suite.waypoints[state.case], state.target_idx,
@@ -44,6 +48,7 @@ def _obs_single(cfg: EnvConfig, assets: Assets, state: core.EnvState) -> jnp.nda
         res=rcfg.obs_res, fov=rcfg.obs_fov,
         left_handed=rcfg.left_handed_coordinates,
         highlight_ego=rcfg.highlight_ego_vehicle,
+        backend=rcfg.backend,
     )
 
 
@@ -73,16 +78,16 @@ def make_env_fns(cfg: EnvConfig, assets: Assets,
     """
     reset_one = functools.partial(core.reset, cfg, assets)
     step_one = functools.partial(_step_autoreset_single, cfg, assets)
-    obs_one = functools.partial(_obs_single, cfg, assets)
+    obs_batched = functools.partial(_obs_batched, cfg, assets)
 
     def reset_fn(keys: jnp.ndarray):
         state = jax.vmap(reset_one)(keys)
-        obs = jax.vmap(obs_one)(state) if render else _no_obs(keys.shape[0], cfg)
+        obs = obs_batched(state) if render else _no_obs(keys.shape[0], cfg)
         return state, obs
 
     def step_fn(state, actions: jnp.ndarray) -> StepOutput:
         state, reward, term, trunc, info = jax.vmap(step_one)(state, actions)
-        obs = jax.vmap(obs_one)(state) if render else _no_obs(reward.shape[0], cfg)
+        obs = obs_batched(state) if render else _no_obs(reward.shape[0], cfg)
         return StepOutput(state, obs, reward, term, trunc, info)
 
     return reset_fn, step_fn

@@ -39,6 +39,12 @@ class MapArrays:
     origin: jnp.ndarray         # (T, 2) world coords of pixel (0,0) corner
     sdf: jnp.ndarray            # (T, G, G) float16
     dir_angle: jnp.ndarray      # (T, G, G) float16
+    # analytic road-render index (zero-gather rasterization): per coarse
+    # cell, the corridor segments reachable from an obs window in the cell,
+    # nearest-first, rows [p0x, p0y, p1x, p1y, sign(hw)*hw^2, 0, 0, 0]
+    seg_data: jnp.ndarray       # (T, C, C, K, 8) float32
+    seg_cell_n: jnp.ndarray     # (T, C, C) int32 valid-count per cell
+    seg_cell: jnp.ndarray       # () cell size in meters
     stop_p0: jnp.ndarray        # (T, L, 2)
     stop_p1: jnp.ndarray        # (T, L, 2)
     stop_dir: jnp.ndarray       # (T, L) approach heading (radians)
@@ -102,6 +108,9 @@ def load_assets(suite: str = "train", assets_dir: Optional[str] = None,
         origin=jnp.asarray(m["origin"], jnp.float32),
         sdf=jnp.asarray(m["sdf"], sdf_dtype),
         dir_angle=jnp.asarray(m["dir_angle"], jnp.float32),
+        seg_data=jnp.asarray(m["seg_data"], jnp.float32),
+        seg_cell_n=jnp.asarray(m["seg_cell_n"], jnp.int32),
+        seg_cell=jnp.asarray(m["seg_cell"], jnp.float32),
         stop_p0=jnp.asarray(m["stop_p0"], jnp.float32),
         stop_p1=jnp.asarray(m["stop_p1"], jnp.float32),
         stop_dir=jnp.asarray(m["stop_dir"], jnp.float32),

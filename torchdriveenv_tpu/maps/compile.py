@@ -38,6 +38,12 @@ MAX_SCEN_AGENTS = 4    # validation max is 2 predefined agents
 MAX_REPLAY_T = 304     # validation max replay length is 300
 MAX_BG_FILES = 20      # Town02/Town03 have 20 cached traffic files
 MAX_LIGHTS = 16        # synthesized traffic lights per town
+MAX_SEGMENTS = 1536    # padded corridor segments per town (max observed 1031)
+SEG_CELL = 32.0        # coarse segment-index cell size (m)
+SEG_GRID = int(GRID * SCALE / SEG_CELL)   # 16x16 cells over the town extent
+SEG_K = 288            # max segments per coarse cell (max observed 277)
+SEG_REACH = 80.0       # cell half-diag + obs window half-diag + halfwidth (m)
+SEG_F = 8              # fields per segment row: p0x p0y p1x p1y shw2 pad pad pad
 LIGHT_GREEN, LIGHT_YELLOW, LIGHT_RED = 10.0, 3.0, 7.0   # cycle durations (s)
 STOPLINE_SETBACK = 10.0    # stopline distance before the intersection point (m)
 STOPLINE_HALFWIDTH = 4.0   # stopline segment half length (m)
@@ -87,6 +93,39 @@ def stamp_segment(drivable, dir_best_d, dir_angle, p0, p1, halfwidth, origin, sc
         dir_angle[i0:i1, j0:j1][closer] = ang
 
 
+def simplify_polyline(pts, eps=0.4):
+    """Douglas-Peucker. pts (N, 2) -> subset keeping max deviation <= eps.
+    Used to compact the *render* segment set (corridor coverage changes by
+    <= eps, well under the 3.5 m corridor halfwidth); the SDF grid is always
+    rasterized from the full-resolution segments."""
+    pts = np.asarray(pts, np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    keep = np.zeros(n, bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        seg = pts[i1] - pts[i0]
+        len2 = float(seg @ seg)
+        rel = pts[i0 + 1:i1] - pts[i0]
+        if len2 < 1e-12:
+            d = np.linalg.norm(rel, axis=-1)
+        else:
+            t = np.clip((rel @ seg) / len2, 0.0, 1.0)
+            d = np.linalg.norm(rel - t[:, None] * seg[None], axis=-1)
+        k = int(np.argmax(d))
+        if d[k] > eps:
+            km = i0 + 1 + k
+            keep[km] = True
+            stack.append((i0, km))
+            stack.append((km, i1))
+    return pts[keep]
+
+
 def seg_intersect(a0, a1, b0, b1):
     """Return intersection point of segments or None."""
     r = a1 - a0
@@ -133,9 +172,23 @@ def load_background(ref):
 # ---------------------------------------------------------------------------
 
 def town_content(suites, background, town):
-    """All polyline segments + agent stubs that evidence drivable area."""
+    """All polyline segments + agent stubs that evidence drivable area.
+
+    Returns (segments, points, render_segments): `segments` at full polyline
+    resolution (rasterized into the SDF grid), `render_segments` the
+    Douglas-Peucker-simplified set used by the analytic road-render index."""
     segments = []          # (p0, p1, halfwidth)
+    render_segments = []
     points = []
+
+    def add_polyline(arr, hw):
+        for k in range(len(arr) - 1):
+            if np.hypot(*(arr[k + 1] - arr[k])) > 0.2:
+                segments.append((arr[k], arr[k + 1], hw))
+        simp = simplify_polyline(arr)
+        for k in range(len(simp) - 1):
+            render_segments.append((simp[k], simp[k + 1], hw))
+
     for suite in suites.values():
         for loc, wps, cseq in zip(
             suite["locations"], suite["waypoint_suite"], suite["car_sequence_suite"]
@@ -144,14 +197,11 @@ def town_content(suites, background, town):
                 continue
             wps = np.asarray(wps, np.float64)
             points.extend(wps.tolist())
-            for k in range(len(wps) - 1):
-                segments.append((wps[k], wps[k + 1], WAYPOINT_HALFWIDTH))
+            add_polyline(wps, WAYPOINT_HALFWIDTH)
             for seq in (cseq or {}).values():
                 arr = np.asarray(seq, np.float64)
                 points.extend(arr[:, :2].tolist())
-                for k in range(len(arr) - 1):
-                    if np.hypot(*(arr[k + 1, :2] - arr[k, :2])) > 0.2:
-                        segments.append((arr[k, :2], arr[k + 1, :2], WAYPOINT_HALFWIDTH))
+                add_polyline(arr[:, :2], WAYPOINT_HALFWIDTH)
         for sc in suite.get("scenarios") or []:
             if sc is None:
                 continue
@@ -170,7 +220,9 @@ def town_content(suites, background, town):
             for x, y, psi, _spd in sc["agent_states"]:
                 d = np.array([math.cos(psi), math.sin(psi)])
                 c = np.array([x, y])
-                segments.append((c - STUB_LENGTH * d, c + STUB_LENGTH * d, STUB_HALFWIDTH))
+                stub = (c - STUB_LENGTH * d, c + STUB_LENGTH * d, STUB_HALFWIDTH)
+                segments.append(stub)
+                render_segments.append(stub)
                 points.append([x, y])
     for j in background.get(town, []):
         for st in j["agent_states"]:
@@ -178,9 +230,11 @@ def town_content(suites, background, town):
             psi = st["orientation"]
             d = np.array([math.cos(psi), math.sin(psi)])
             c = np.array([x, y])
-            segments.append((c - STUB_LENGTH * d, c + STUB_LENGTH * d, STUB_HALFWIDTH))
+            stub = (c - STUB_LENGTH * d, c + STUB_LENGTH * d, STUB_HALFWIDTH)
+            segments.append(stub)
+            render_segments.append(stub)
             points.append([x, y])
-    return segments, np.asarray(points, np.float64)
+    return segments, np.asarray(points, np.float64), render_segments
 
 
 def compile_town_map(segments, points):
@@ -213,6 +267,85 @@ def compile_town_map(segments, points):
     _, idx = ndimage.distance_transform_edt(~covered, return_indices=True)
     dir_full = dir_angle[idx[0], idx[1]]
     return origin.astype(np.float32), sdf, dir_full.astype(np.float32)
+
+
+def compile_segment_index(segments, origin):
+    """Corridor segments + a coarse per-cell segment-DATA index for the
+    analytic road-rendering path: the rasterizer (ops/rasterizer_pallas.py)
+    tests every pixel against the corridor segments near the ego instead of
+    gathering from the SDF grid — a zero-gather, pure-VPU formulation.
+
+    Returns dict with:
+      seg_data (SEG_GRID, SEG_GRID, SEG_K, SEG_F) float32: for every coarse
+        cell, the segments whose corridor can reach an observation window
+        centered anywhere in the cell, sorted nearest-to-cell-center first,
+        rows [p0x, p0y, p1x, p1y, shw2, 0, 0, 0] where shw2 = sign(hw)*hw^2
+        (-1 sentinel rows never cover a pixel);
+      seg_cell_n (SEG_GRID, SEG_GRID) int32 counts (for block skipping).
+    """
+    # dedup near-identical segments (background stubs repeat the same lanes
+    # across the ~20 cached traffic files). Stubs (identified by their fixed
+    # length/halfwidth) get a coarser 4 m / 30 deg bin — their corridors are
+    # 6 m wide, so merged stubs still cover the same pavement.
+    seen, uniq = set(), []
+    for s in segments:
+        p0, p1, hw = np.asarray(s[0]), np.asarray(s[1]), s[2]
+        is_stub = abs(hw - STUB_HALFWIDTH) < 1e-6 and \
+            abs(np.hypot(*(p1 - p0)) - 2 * STUB_LENGTH) < 1e-3
+        if is_stub:
+            mid = (p0 + p1) / 2.0
+            ang = math.atan2(*(p1 - p0)[::-1]) % math.pi   # undirected
+            key = ("stub", round(mid[0] / 4), round(mid[1] / 4),
+                   round(ang / math.radians(30)))
+            if key in seen:
+                continue
+            seen.add(key)
+        else:
+            a = (round(p0[0] / 2), round(p0[1] / 2),
+                 round(p1[0] / 2), round(p1[1] / 2), round(hw, 1))
+            b = (a[2], a[3], a[0], a[1], a[4])
+            if a in seen or b in seen:
+                continue
+            seen.add(a)
+        uniq.append(s)
+    segments = uniq
+
+    n = len(segments)
+    p0 = np.asarray([s[0] for s in segments], np.float32).reshape(n, 2)
+    p1 = np.asarray([s[1] for s in segments], np.float32).reshape(n, 2)
+    hw = np.asarray([s[2] for s in segments], np.float32)
+
+    # distance from every coarse-cell center to every segment
+    cc = origin[None, :] + SEG_CELL * (
+        np.stack(np.meshgrid(np.arange(SEG_GRID), np.arange(SEG_GRID),
+                             indexing="ij"), -1).reshape(-1, 2) + 0.5)
+    seg = p1 - p0
+    len2 = np.maximum((seg * seg).sum(-1), 1e-9)
+    t = np.clip(((cc[:, None, :] - p0[None]) * seg[None]).sum(-1) / len2,
+                0.0, 1.0)
+    proj = p0[None] + t[..., None] * seg[None]
+    d = np.linalg.norm(cc[:, None, :] - proj, axis=-1)      # (cells, n)
+
+    data = np.zeros((SEG_GRID * SEG_GRID, SEG_K, SEG_F), np.float32)
+    data[:, :, 4] = -1.0                                    # sentinel shw2
+    counts = np.zeros((SEG_GRID * SEG_GRID,), np.int32)
+    truncated = 0
+    for c in range(SEG_GRID * SEG_GRID):
+        near = np.where(d[c] < SEG_REACH + hw)[0]
+        near = near[np.argsort(d[c][near], kind="stable")]
+        if len(near) > SEG_K:
+            truncated += len(near) - SEG_K
+            near = near[:SEG_K]
+        counts[c] = len(near)
+        data[c, : len(near), 0:2] = p0[near]
+        data[c, : len(near), 2:4] = p1[near]
+        data[c, : len(near), 4] = hw[near] ** 2
+    if truncated:
+        log(f"WARNING: seg index truncated {truncated} segment entries")
+    return dict(
+        seg_data=data.reshape(SEG_GRID, SEG_GRID, SEG_K, SEG_F),
+        seg_cell_n=counts.reshape(SEG_GRID, SEG_GRID),
+    ), int(counts.max())
 
 
 def compile_town_map_native(segments, origin):
