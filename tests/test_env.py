@@ -178,6 +178,28 @@ class TestBatchedAutoReset:
         sc = np.asarray(state.step_idx)
         assert (sc >= 0).all() and (sc <= 200).all()
 
+    def test_pooled_reset(self, assets_val):
+        """reset_pool < B: done envs still get fresh, distinct episodes."""
+        env = BatchedEnv(_cfg(ego_only=True, reset_pool=4), assets_val,
+                         num_envs=16)
+        state, _ = env.reset(jax.random.PRNGKey(3))
+        acts = jnp.tile(jnp.array([[1.0, 0.0]]), (16, 1))
+        saw_done = 0
+        for _ in range(80):
+            prev_rng = np.asarray(state.rng)
+            out = env.step(state, acts)
+            done = np.asarray(out.terminated | out.truncated)
+            sc = np.asarray(out.state.step_idx)
+            # freshly reset envs restart their step counter
+            assert (sc[done] == 0).all()
+            # and carry per-env (not pool-shared) rng streams
+            rngs = np.asarray(out.state.rng)
+            assert len(np.unique(rngs, axis=0)) == 16
+            assert not (rngs == prev_rng).all(axis=-1).any()
+            saw_done += int(done.sum())
+            state = out.state
+        assert saw_done > 4, "expected several episode ends through the pool"
+
     def test_deterministic(self, assets_val):
         env = BatchedEnv(_cfg(ego_only=True), assets_val, num_envs=4)
         s1, o1 = env.reset(jax.random.PRNGKey(7))

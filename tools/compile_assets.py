@@ -30,6 +30,8 @@ def main():
         origin=np.zeros((len(mc.TOWNS), 2), np.float32),
         sdf=np.zeros((len(mc.TOWNS), mc.GRID, mc.GRID), np.float16),
         dir_angle=np.zeros((len(mc.TOWNS), mc.GRID, mc.GRID), np.float16),
+        sdf_gx=np.zeros((len(mc.TOWNS), mc.GRID, mc.GRID), np.float16),
+        sdf_gy=np.zeros((len(mc.TOWNS), mc.GRID, mc.GRID), np.float16),
         stop_p0=np.zeros((len(mc.TOWNS), mc.MAX_LIGHTS, 2), np.float32),
         stop_p1=np.zeros((len(mc.TOWNS), mc.MAX_LIGHTS, 2), np.float32),
         stop_dir=np.zeros((len(mc.TOWNS), mc.MAX_LIGHTS), np.float32),
@@ -51,6 +53,10 @@ def main():
         maps["origin"][ti] = origin
         maps["sdf"][ti] = sdf.astype(np.float16)
         maps["dir_angle"][ti] = dirs.astype(np.float16)
+        # SDF gradient (unit-ish) for one-gather road-edge steering
+        gx, gy = np.gradient(sdf.astype(np.float32), mc.SCALE)
+        maps["sdf_gx"][ti] = np.clip(gx, -1.5, 1.5).astype(np.float16)
+        maps["sdf_gy"][ti] = np.clip(gy, -1.5, 1.5).astype(np.float16)
         seg_idx, k_max = mc.compile_segment_index(render_segs, origin)
         for k, v in seg_idx.items():
             maps[k][ti] = v

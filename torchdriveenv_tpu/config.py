@@ -72,6 +72,11 @@ class EnvConfig:
     video_res: Optional[int] = 1024
     video_fov: Optional[float] = 500.0
     device: Optional[str] = None
+    # TPU-native: fresh reset states sampled per lockstep batch step for the
+    # in-graph auto-reset (env/batched.py:_autoreset). 0 = one per env
+    # (exact per-env streams); N = iid pool of N (same distribution, ~B/N x
+    # cheaper; entries reused modulo N if >N envs finish simultaneously).
+    reset_pool: int = 256
 
 
 class BaselineAlgorithm(str, enum.Enum):

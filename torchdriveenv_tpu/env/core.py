@@ -27,7 +27,11 @@ import jax.numpy as jnp
 from flax import struct
 
 from torchdriveenv_tpu.config import EnvConfig
-from torchdriveenv_tpu.maps.arrays import Assets, sample_dir_angle, sample_sdf
+from torchdriveenv_tpu.maps.arrays import (
+    Assets,
+    sample_dir_angle,
+    sample_sdf_nearest,
+)
 from torchdriveenv_tpu.npc.route_follow import npc_actions
 from torchdriveenv_tpu.ops.bicycle import bicycle_step
 from torchdriveenv_tpu.ops.collision import ego_collision
@@ -75,21 +79,36 @@ def max_agents(assets: Assets) -> int:
     return assets.background.bg_states.shape[2]
 
 
+def _spawn_cell_centers():
+    """Static jitter-grid cell centers, ordered closest-to-ego first.
+
+    The ordering is compile-time (cells are ego-relative), which replaces the
+    runtime argsort-by-distance the spawner would otherwise need — spawn
+    priority still densifies around the ego like IAI initialize."""
+    import numpy as np
+
+    cell = 2.0 * SPAWN_FOV / SPAWN_GRID
+    ii = np.arange(SPAWN_GRID, dtype=np.float32)
+    centers = -SPAWN_FOV + cell * (ii + 0.5)
+    gx, gy = np.meshgrid(centers, centers, indexing="ij")
+    base = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+    order = np.argsort(np.hypot(base[:, 0], base[:, 1]), kind="stable")
+    return base[order]                      # numpy: safe to embed in traces
+
+
+_SPAWN_BASE = _spawn_cell_centers()
+
+
 def _spawn_candidates(key, maps, town, ego_xy, fixed_xy, fixed_present):
     """Local traffic genesis: jittered-grid candidates near the ego, on-road,
     clear of existing agents. Returns (n_cand, 4) states, (n_cand, 3) attrs,
-    (n_cand,) speeds, (n_cand,) valid, ranked closest-to-ego first."""
+    (n_cand,) speeds, (n_cand,) valid, ranked ~closest-to-ego first."""
     n = SPAWN_GRID * SPAWN_GRID
     k_xy, k_psi, k_speed, k_len, k_wid, k_lr = jax.random.split(key, 6)
-    cell = 2.0 * SPAWN_FOV / SPAWN_GRID
-    ii = jnp.arange(SPAWN_GRID, dtype=jnp.float32)
-    centers = -SPAWN_FOV + cell * (ii + 0.5)
-    gx, gy = jnp.meshgrid(centers, centers, indexing="ij")
-    base = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)
     jitter = jax.random.uniform(k_xy, (n, 2), minval=-SPAWN_JITTER, maxval=SPAWN_JITTER)
-    pos = ego_xy[None, :] + base + jitter
+    pos = ego_xy[None, :] + _SPAWN_BASE + jitter
 
-    sdf = sample_sdf(maps, town, pos)
+    sdf = sample_sdf_nearest(maps, town, pos)
     d_ego = jnp.linalg.norm(pos - ego_xy[None, :], axis=-1)
     d_fixed = jnp.linalg.norm(pos[:, None, :] - fixed_xy[None, :, :], axis=-1)
     d_fixed = jnp.where(fixed_present[None, :], d_fixed, jnp.inf)
@@ -105,9 +124,7 @@ def _spawn_candidates(key, maps, town, ego_xy, fixed_xy, fixed_present):
         jax.random.uniform(k_wid, (n,), minval=1.8, maxval=2.1),
         jax.random.uniform(k_lr, (n,), minval=0.9, maxval=1.6),
     ], axis=-1)
-    # closest-first ordering mirrors IAI densifying around the ego
-    order = jnp.argsort(jnp.where(valid, d_ego, jnp.inf))
-    return states[order], attrs[order], speed[order], valid[order]
+    return states, attrs, speed, valid
 
 
 def reset(cfg: EnvConfig, assets: Assets, key: jnp.ndarray) -> EnvState:
@@ -195,17 +212,32 @@ def reset(cfg: EnvConfig, assets: Assets, key: jnp.ndarray) -> EnvState:
             sp_rank = jnp.cumsum(sp_valid) - 1
             sp_present = sp_valid & (sp_rank < k_needed)
 
-            # compact (bg + spawned) into the tail slots, present-first
-            cand_states = jnp.concatenate([bg_states, sp_states])
-            cand_attrs = jnp.concatenate([bg_attrs_f, sp_attrs])
-            cand_present = jnp.concatenate([bg_present, sp_present])
-            cand_speed = jnp.concatenate([bg_states[:, 3], sp_speed])
-            order = jnp.argsort(~cand_present, stable=True)[:tail_cap]
-            states = states.at[n_fixed:].set(cand_states[order])
-            attrs = attrs.at[n_fixed:].set(cand_attrs[order])
-            present = present.at[n_fixed:].set(cand_present[order])
+            # pack: background agents keep their tail slot; spawned agents
+            # (closest-first) fill the gaps. Two cumsums + one small gather —
+            # replaces a (tail+spawn)-length argsort compaction.
+            n_sp = sp_present.shape[0]
+            gap = ~bg_present                             # (tail_cap,)
+            gap_rank = jnp.cumsum(gap) - 1
+            lut = jnp.full((tail_cap + 1,), n_sp, jnp.int32)
+            lut = lut.at[jnp.where(sp_present,
+                                   jnp.minimum(sp_rank, tail_cap),
+                                   tail_cap)].set(
+                jnp.arange(n_sp, dtype=jnp.int32), mode="drop")
+            j_fill = lut[jnp.clip(gap_rank, 0, tail_cap - 1)]
+            sp_rows = jnp.concatenate([
+                sp_states, sp_attrs, sp_speed[:, None],
+                jnp.ones((n_sp, 1))], axis=-1)            # (n_sp, 9)
+            sp_rows = jnp.concatenate([sp_rows, jnp.zeros((1, 9))])
+            fill = sp_rows[j_fill]                        # (tail_cap, 9)
+            use_fill = gap & (j_fill < n_sp)
+            states = states.at[n_fixed:].set(
+                jnp.where(bg_present[:, None], bg_states, fill[:, :4]))
+            attrs = attrs.at[n_fixed:].set(
+                jnp.where(bg_present[:, None], bg_attrs_f, fill[:, 4:7]))
+            present = present.at[n_fixed:].set(bg_present | use_fill)
             target_speed = target_speed.at[n_fixed:].set(
-                jnp.where(cand_present[order], cand_speed[order], 0.0))
+                jnp.where(bg_present, bg_states[:, 3],
+                          jnp.where(use_fill, fill[:, 7], 0.0)))
 
     period = maps.light_durations.sum()
     time0 = jax.random.uniform(k_phase) * period

@@ -39,6 +39,8 @@ class MapArrays:
     origin: jnp.ndarray         # (T, 2) world coords of pixel (0,0) corner
     sdf: jnp.ndarray            # (T, G, G) float16
     dir_angle: jnp.ndarray      # (T, G, G) float16
+    sdf_gx: jnp.ndarray         # (T, G, G) float16 d(sdf)/dx
+    sdf_gy: jnp.ndarray         # (T, G, G) float16 d(sdf)/dy
     # analytic road-render index (zero-gather rasterization): per coarse
     # cell, the corridor segments reachable from an obs window in the cell,
     # nearest-first, rows [p0x, p0y, p1x, p1y, sign(hw)*hw^2, 0, 0, 0]
@@ -108,6 +110,8 @@ def load_assets(suite: str = "train", assets_dir: Optional[str] = None,
         origin=jnp.asarray(m["origin"], jnp.float32),
         sdf=jnp.asarray(m["sdf"], sdf_dtype),
         dir_angle=jnp.asarray(m["dir_angle"], jnp.float32),
+        sdf_gx=jnp.asarray(m["sdf_gx"], jnp.float16),
+        sdf_gy=jnp.asarray(m["sdf_gy"], jnp.float16),
         seg_data=jnp.asarray(m["seg_data"], jnp.float32),
         seg_cell_n=jnp.asarray(m["seg_cell_n"], jnp.int32),
         seg_cell=jnp.asarray(m["seg_cell"], jnp.float32),
@@ -180,6 +184,31 @@ def sample_sdf(maps: MapArrays, town: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarr
     fx, fy = f[..., 0], f[..., 1]
     return ((v00 * (1 - fx) + v10 * fx) * (1 - fy)
             + (v01 * (1 - fx) + v11 * fx) * fy)
+
+
+def sample_sdf_nearest(maps: MapArrays, town: jnp.ndarray,
+                       xy: jnp.ndarray) -> jnp.ndarray:
+    """Single-gather nearest-neighbor SDF sample (meters, + inside). The
+    cheap variant for validity-style checks where 0.5 px quantization is
+    irrelevant (spawn-candidate filtering, rendering)."""
+    g = maps.sdf.shape[-1]
+    p = _pixel_coords(maps, town, xy)
+    i = jnp.clip(jnp.round(p).astype(jnp.int32), 0, g - 1)
+    return _gather_town_grid(maps.sdf, town, i[..., 0],
+                             i[..., 1]).astype(jnp.float32)
+
+
+def sample_sdf_grad(maps: MapArrays, town: jnp.ndarray, xy: jnp.ndarray):
+    """Nearest-neighbor SDF gradient sample -> (gx, gy) each (...,).
+
+    Two gathers replacing the 8 bilinear-gather finite difference the NPC
+    edge-steering term would otherwise need (npc/route_follow.py)."""
+    g = maps.sdf_gx.shape[-1]
+    p = _pixel_coords(maps, town, xy)
+    i = jnp.clip(jnp.round(p).astype(jnp.int32), 0, g - 1)
+    gx = _gather_town_grid(maps.sdf_gx, town, i[..., 0], i[..., 1])
+    gy = _gather_town_grid(maps.sdf_gy, town, i[..., 0], i[..., 1])
+    return gx.astype(jnp.float32), gy.astype(jnp.float32)
 
 
 def sample_dir_angle(maps: MapArrays, town: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:

@@ -17,7 +17,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from torchdriveenv_tpu.maps.arrays import MapArrays, sample_dir_angle, sample_sdf
+from torchdriveenv_tpu.maps.arrays import (
+    MapArrays,
+    sample_dir_angle,
+    sample_sdf_grad,
+)
 from torchdriveenv_tpu.ops.traffic_lights import LightState, light_states_at
 
 # IDM parameters (standard motorway values, Treiber et al. 2000)
@@ -57,9 +61,10 @@ def npc_actions(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
     probe = pos + fwd * lookahead[:, None]
     dir_tgt = sample_dir_angle(maps, town, probe)
     heading_err = _wrap(dir_tgt - psi)
-    sdf_l = sample_sdf(maps, town, pos + 1.5 * left)
-    sdf_r = sample_sdf(maps, town, pos - 1.5 * left)
-    edge_err = jnp.clip(0.08 * (sdf_l - sdf_r), -0.2, 0.2)
+    # edge keeping: 0.08*(sdf(p+1.5*left) - sdf(p-1.5*left)) ~ 0.24*(grad.left),
+    # from the precomputed SDF gradient (2 gathers instead of 8)
+    gx, gy = sample_sdf_grad(maps, town, pos)
+    edge_err = jnp.clip(0.24 * (gx * left[:, 0] + gy * left[:, 1]), -0.2, 0.2)
     steer = jnp.clip(1.5 * heading_err + edge_err, -STEER_BOUND, STEER_BOUND)
 
     # ---- longitudinal control: IDM against the nearest leader
