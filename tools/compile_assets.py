@@ -32,6 +32,7 @@ def main():
         dir_angle=np.zeros((len(mc.TOWNS), mc.GRID, mc.GRID), np.float16),
         sdf_gx=np.zeros((len(mc.TOWNS), mc.GRID, mc.GRID), np.float16),
         sdf_gy=np.zeros((len(mc.TOWNS), mc.GRID, mc.GRID), np.float16),
+        npc_field=np.zeros((len(mc.TOWNS), mc.GRID, mc.GRID), np.uint32),
         stop_p0=np.zeros((len(mc.TOWNS), mc.MAX_LIGHTS, 2), np.float32),
         stop_p1=np.zeros((len(mc.TOWNS), mc.MAX_LIGHTS, 2), np.float32),
         stop_dir=np.zeros((len(mc.TOWNS), mc.MAX_LIGHTS), np.float32),
@@ -57,6 +58,10 @@ def main():
         gx, gy = np.gradient(sdf.astype(np.float32), mc.SCALE)
         maps["sdf_gx"][ti] = np.clip(gx, -1.5, 1.5).astype(np.float16)
         maps["sdf_gy"][ti] = np.clip(gy, -1.5, 1.5).astype(np.float16)
+        # packed NPC control field: ONE gather yields (dir f16, gx i8, gy i8)
+        dir16 = dirs.astype(np.float16).view(np.uint16).astype(np.uint32)
+        q = lambda g: np.clip(np.round(g * 32.0) + 128, 0, 255).astype(np.uint32)
+        maps["npc_field"][ti] = dir16 | (q(gx) << 16) | (q(gy) << 24)
         seg_idx, k_max = mc.compile_segment_index(render_segs, origin)
         for k, v in seg_idx.items():
             maps[k][ti] = v

@@ -72,6 +72,11 @@ class EnvConfig:
     video_res: Optional[int] = 1024
     video_fov: Optional[float] = 500.0
     device: Optional[str] = None
+    # TPU-native: NPC behavioral model — "route" = deterministic IDM
+    # route-follower; "policy" = recurrent GRU policy (npc/policy_net.py,
+    # distilled from the route-follower by default; the local stand-in for
+    # the reference's IAI DRIVE recurrent cloud model, gym_env.py:285-294).
+    npc_mode: str = "route"
     # TPU-native: fresh reset states sampled per lockstep batch step for the
     # in-graph auto-reset (env/batched.py:_autoreset). 0 = one per env
     # (exact per-env streams); N = iid pool of N (same distribution, ~B/N x

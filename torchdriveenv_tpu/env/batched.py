@@ -93,9 +93,11 @@ def _autoreset(cfg: EnvConfig, assets: Assets, next_state, done):
     return _select_done(done, fresh, next_state)
 
 
-def _step_autoreset(cfg: EnvConfig, assets: Assets, state, actions):
+def _step_autoreset(cfg: EnvConfig, assets: Assets, state, actions,
+                    npc_params=None):
     next_state, reward, term, trunc, info = jax.vmap(
-        functools.partial(core.step, cfg, assets))(state, actions)
+        functools.partial(core.step, cfg, assets, npc_params=npc_params))(
+        state, actions)
     done = term | trunc
     out_state = _autoreset(cfg, assets, next_state, done)
     return out_state, reward, term, trunc, info
@@ -112,6 +114,10 @@ def make_env_fns(cfg: EnvConfig, assets: Assets,
     """
     reset_one = functools.partial(core.reset, cfg, assets)
     obs_batched = functools.partial(_obs_batched, cfg, assets)
+    npc_params = None
+    if cfg.npc_mode == "policy":
+        from torchdriveenv_tpu.npc.policy_net import default_params
+        npc_params = default_params()
 
     def reset_fn(keys: jnp.ndarray):
         state = jax.vmap(reset_one)(keys)
@@ -120,7 +126,7 @@ def make_env_fns(cfg: EnvConfig, assets: Assets,
 
     def step_fn(state, actions: jnp.ndarray) -> StepOutput:
         state, reward, term, trunc, info = _step_autoreset(
-            cfg, assets, state, actions)
+            cfg, assets, state, actions, npc_params=npc_params)
         obs = obs_batched(state) if render else _no_obs(reward.shape[0], cfg)
         return StepOutput(state, obs, reward, term, trunc, info)
 

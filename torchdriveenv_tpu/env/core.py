@@ -20,7 +20,7 @@ gym_env.py:219,269-271):
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +69,10 @@ class EnvState:
     target_idx: jnp.ndarray     # () int32 current waypoint target (starts at 1)
     reached_num: jnp.ndarray    # () int32 waypoints reached this episode
     rng: jnp.ndarray            # PRNG key for any stochastic NPC extensions
+    # (A, H) GRU state when cfg.npc_mode == "policy", else None — the local
+    # analogue of the reference's per-NPC 132-d recurrent state
+    # (gym_env.py:198, background JSON recurrent_states.packed)
+    npc_hidden: Optional[jnp.ndarray] = None
 
 
 def _num_fixed(assets: Assets) -> int:
@@ -242,7 +246,14 @@ def reset(cfg: EnvConfig, assets: Assets, key: jnp.ndarray) -> EnvState:
     period = maps.light_durations.sum()
     time0 = jax.random.uniform(k_phase) * period
 
+    if cfg.npc_mode == "policy":
+        from torchdriveenv_tpu.npc.policy_net import init_hidden
+        npc_hidden = init_hidden(a_max)
+    else:
+        npc_hidden = None
+
     return EnvState(
+        npc_hidden=npc_hidden,
         town=town, case=case,
         agent_states=states, agent_attrs=attrs, present=present,
         npc_target_speed=target_speed,
@@ -255,11 +266,13 @@ def reset(cfg: EnvConfig, assets: Assets, key: jnp.ndarray) -> EnvState:
 
 
 def step(cfg: EnvConfig, assets: Assets, state: EnvState, action: jnp.ndarray,
+         npc_params=None,
          ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One env step (reference WaypointSuiteEnv.step + GymEnv.step + reward/
     termination/info, gym_env.py:115-120,369-437).
 
     action: (2,) [acceleration, steering], clipped to the env action space.
+    npc_params: GRU policy params when cfg.npc_mode == "policy".
     Returns (next_state, reward, terminated, truncated, info).
     """
     suite, maps = assets.suite, assets.maps
@@ -268,8 +281,21 @@ def step(cfg: EnvConfig, assets: Assets, state: EnvState, action: jnp.ndarray,
     t_now = state.time0 + state.step_idx.astype(jnp.float32) * dt
 
     # --- NPC behavioral stepping (IAI DRIVE stand-in) + ego action
-    npc_act = npc_actions(maps, state.town, t_now, state.agent_states,
-                          state.agent_attrs, state.present, state.npc_target_speed)
+    npc_hidden = state.npc_hidden
+    if cfg.npc_mode == "policy":
+        from torchdriveenv_tpu.npc.policy_net import (
+            default_params,
+            npc_policy_actions,
+        )
+        params = npc_params if npc_params is not None else default_params()
+        npc_act, npc_hidden = npc_policy_actions(
+            params, maps, state.town, t_now, state.agent_states,
+            state.agent_attrs, state.present, state.npc_target_speed,
+            state.npc_hidden)
+    else:
+        npc_act = npc_actions(maps, state.town, t_now, state.agent_states,
+                              state.agent_attrs, state.present,
+                              state.npc_target_speed)
     ego_act = jnp.clip(action, ACTION_LOW, ACTION_HIGH)
     acts = npc_act.at[0].set(ego_act)
 
@@ -334,5 +360,6 @@ def step(cfg: EnvConfig, assets: Assets, state: EnvState, action: jnp.ndarray,
         step_idx=steps,
         target_idx=target_idx,
         reached_num=reached_num,
+        npc_hidden=npc_hidden,
     )
     return next_state, reward, terminated, truncated, info

@@ -71,8 +71,13 @@ class TpuGymEnv(gym.Env):
         self._state: Optional[core.EnvState] = None
         self._frames = []  # video-mode frame buffer
 
+        npc_params = None
+        if cfg.npc_mode == "policy":
+            from torchdriveenv_tpu.npc.policy_net import default_params
+            npc_params = default_params()
         self._reset1 = jax.jit(functools.partial(core.reset, cfg, assets))
-        self._step1 = jax.jit(functools.partial(core.step, cfg, assets))
+        self._step1 = jax.jit(functools.partial(core.step, cfg, assets,
+                                                npc_params=npc_params))
         self._obs1 = jax.jit(functools.partial(self._render_obs, cfg, assets))
         if cfg.render_mode == "video":
             self._video1 = jax.jit(functools.partial(
@@ -119,6 +124,18 @@ class TpuGymEnv(gym.Env):
         # reference exposes per-term reward breakdown in info
         # (gym_env.py:419-437); engine already includes psi/dist rewards
         return obs, float(reward), bool(term), bool(trunc), info
+
+    def mock_step(self, action=None
+                  ) -> Tuple[np.ndarray, float, bool, bool, Dict]:
+        """Canned transition without advancing the simulator — the built-in
+        fake the reference keeps for simulator/API failures
+        (reference gym_env.py:159-170)."""
+        obs = np.asarray(self._obs1(self._state)) if self._state is not None \
+            else np.zeros(self.observation_space.shape, np.uint8)
+        info = {"offroad": np.zeros(()), "collision": np.zeros(()),
+                "traffic_light_violation": np.zeros(()),
+                "is_success": np.asarray(False)}
+        return obs, 0.0, False, True, info
 
     def render(self) -> Optional[np.ndarray]:
         # rgb_array mode returns an HWC uint8 frame (reference gym_env.py:152-157)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -41,6 +42,7 @@ class MapArrays:
     dir_angle: jnp.ndarray      # (T, G, G) float16
     sdf_gx: jnp.ndarray         # (T, G, G) float16 d(sdf)/dx
     sdf_gy: jnp.ndarray         # (T, G, G) float16 d(sdf)/dy
+    npc_field: jnp.ndarray      # (T, G, G) uint32 packed (dir f16, gx i8, gy i8)
     # analytic road-render index (zero-gather rasterization): per coarse
     # cell, the corridor segments reachable from an obs window in the cell,
     # nearest-first, rows [p0x, p0y, p1x, p1y, sign(hw)*hw^2, 0, 0, 0]
@@ -112,6 +114,7 @@ def load_assets(suite: str = "train", assets_dir: Optional[str] = None,
         dir_angle=jnp.asarray(m["dir_angle"], jnp.float32),
         sdf_gx=jnp.asarray(m["sdf_gx"], jnp.float16),
         sdf_gy=jnp.asarray(m["sdf_gy"], jnp.float16),
+        npc_field=jnp.asarray(m["npc_field"], jnp.uint32),
         seg_data=jnp.asarray(m["seg_data"], jnp.float32),
         seg_cell_n=jnp.asarray(m["seg_cell_n"], jnp.int32),
         seg_cell=jnp.asarray(m["seg_cell"], jnp.float32),
@@ -209,6 +212,23 @@ def sample_sdf_grad(maps: MapArrays, town: jnp.ndarray, xy: jnp.ndarray):
     gx = _gather_town_grid(maps.sdf_gx, town, i[..., 0], i[..., 1])
     gy = _gather_town_grid(maps.sdf_gy, town, i[..., 0], i[..., 1])
     return gx.astype(jnp.float32), gy.astype(jnp.float32)
+
+
+def sample_npc_field(maps: MapArrays, town: jnp.ndarray, xy: jnp.ndarray):
+    """One nearest-neighbor gather -> (dir_angle, sdf_gx, sdf_gy), each (...,).
+
+    The packed control field (tools/compile_assets.py) fuses what the NPC
+    controller would otherwise fetch with three separate grid gathers —
+    scattered gathers are the dominant physics cost on TPU."""
+    g = maps.npc_field.shape[-1]
+    p = _pixel_coords(maps, town, xy)
+    i = jnp.clip(jnp.round(p).astype(jnp.int32), 0, g - 1)
+    u = _gather_town_grid(maps.npc_field, town, i[..., 0], i[..., 1])
+    dir_angle = jax.lax.bitcast_convert_type(
+        (u & 0xFFFF).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    gx = (((u >> 16) & 0xFF).astype(jnp.float32) - 128.0) / 32.0
+    gy = (((u >> 24) & 0xFF).astype(jnp.float32) - 128.0) / 32.0
+    return dir_angle, gx, gy
 
 
 def sample_dir_angle(maps: MapArrays, town: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
