@@ -170,7 +170,8 @@ class TestBatchedAutoReset:
         dones = 0
         for _ in range(60):
             acts = jnp.tile(jnp.array([[1.0, 0.0]]), (8, 1))
-            state, obs, r, term, trunc, info = env.step(state, acts)
+            out = env.step(state, acts)
+            state, term, trunc = out.state, out.terminated, out.truncated
             dones += int((term | trunc).sum())
         # full-throttle constant action must eventually end episodes (offroad)
         assert dones > 0

@@ -93,6 +93,43 @@ class TestTwinVsSdfRasterizer:
         road_disagree = (f_new[~m_new] != f_old[~m_old]).any(-1).mean()
         assert road_disagree < 0.02, f"road layer disagreement {road_disagree}"
 
+    def test_full_waypoint_sequence_rendered(self, assets):
+        """The reference feeds every waypoint except index 0 to the renderer
+        for the whole episode (gym_env.py:252-257) — route context, not just
+        the current target disc. More waypoints in range => more waypoint
+        pixels; the current target index must not affect the frame."""
+        wp0 = assets.suite.waypoints[0][0]          # on-road start point
+        n_pad = assets.suite.waypoints.shape[1]
+        ego_state = jnp.concatenate([wp0, jnp.zeros((2,))])
+        states = ego_state[None, :]
+        attrs = jnp.array([[4.8, 1.9, 1.4]])
+        present = jnp.ones((1,), bool)
+        # waypoints straight ahead at 10 m and 20 m (inside the 70 m FOV)
+        wps = jnp.zeros((n_pad, 2)).at[0].set(wp0)
+        wps = wps.at[1].set(wp0 + jnp.array([10.0, 0.0]))
+        wps = wps.at[2].set(wp0 + jnp.array([20.0, 0.0]))
+
+        def render(n_wp, tgt):
+            img = rp.render_observation(
+                assets.maps, jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
+                states[None], attrs[None], present[None], wps[None],
+                jnp.full((1,), tgt, jnp.int32),
+                jnp.full((1,), n_wp, jnp.int32), backend="xla")
+            return np.asarray(img)
+
+        wp_c = np.asarray(rasterizer.COLOR_WAYPOINT).astype(np.uint8)
+
+        def n_wp_pixels(img):
+            flat = img.transpose(0, 2, 3, 1).reshape(-1, 3)
+            return int((flat == wp_c).all(-1).sum())
+
+        one = n_wp_pixels(render(2, 1))     # only wp1 maskable
+        two = n_wp_pixels(render(3, 1))     # wp1 + wp2
+        assert one > 0
+        assert two > 1.5 * one, (one, two)
+        # target_idx is irrelevant to rendering (mask is static in the ref)
+        np.testing.assert_array_equal(render(3, 1), render(3, 2))
+
     def test_ego_only_and_empty_scene(self, assets):
         """No NPCs, no lights in range: frame is road+bg+ego+waypoint only."""
         cfg = EnvConfig(ego_only=True)

@@ -90,13 +90,21 @@ class TestBuffer:
     def _mk(self, e=2, n=8):
         return replay.create(e, n, (3, 4, 4))
 
+    @staticmethod
+    def _add(buf, frame, done, terminal, final=None, reward=None):
+        e = frame.shape[0]
+        return jax.jit(replay.add)(
+            buf, frame, jnp.zeros((e, 2)),
+            jnp.ones((e,)) if reward is None else reward,
+            done, terminal,
+            frame if final is None else final)
+
     def test_add_and_ring(self):
         buf = self._mk()
         f = jnp.ones((2, 3, 4, 4), jnp.uint8)
-        add = jax.jit(replay.add)
+        no = jnp.zeros((2,), bool)
         for i in range(10):
-            buf = add(buf, f * i, jnp.zeros((2, 2)), jnp.ones((2,)),
-                      jnp.zeros((2,), bool), jnp.zeros((2,), bool))
+            buf = self._add(buf, f * i, no, no)
         assert int(buf.pos) == 10 and int(buf.filled) == 8
         # ring wrapped: cell 0 holds frame 8, cell 1 holds frame 9
         assert int(buf.frames[0, 0, 0, 0, 0]) == 8
@@ -104,13 +112,12 @@ class TestBuffer:
 
     def test_stack_respects_episode_boundary(self):
         buf = self._mk(e=1, n=16)
-        add = jax.jit(replay.add)
         # episode A: frames 1,2,3 (done at 3); episode B: frames 4,5
         for i, done in [(1, False), (2, False), (3, True), (4, False),
                         (5, False)]:
             f = jnp.full((1, 3, 4, 4), i, jnp.uint8)
-            buf = add(buf, f, jnp.zeros((1, 2)), jnp.zeros((1,)),
-                      jnp.full((1,), done), jnp.full((1,), done))
+            d = jnp.full((1,), done)
+            buf = self._add(buf, f, d, d)
         # stack ending at cell 4 (frame 5, 2nd frame of episode B) must not
         # reach back into episode A: expect [4, 4, 5] repeated-padded
         s = replay._stack_at(buf, jnp.int32(0), jnp.int32(4), 3)
@@ -122,18 +129,76 @@ class TestBuffer:
 
     def test_sample_shapes_and_discount(self):
         buf = self._mk(e=2, n=32)
-        add = jax.jit(replay.add)
         for i in range(20):
-            done = (i % 7) == 6
-            buf = add(buf, jnp.full((2, 3, 4, 4), i, jnp.uint8),
-                      jnp.zeros((2, 2)), jnp.ones((2,)),
-                      jnp.full((2,), done), jnp.full((2,), done))
+            done = jnp.full((2,), (i % 7) == 6)
+            buf = self._add(buf, jnp.full((2, 3, 4, 4), i, jnp.uint8),
+                            done, done)
         batch = jax.jit(replay.sample, static_argnums=(2, 3))(
             buf, K(0), 64, 3)
         assert batch["obs"].shape == (64, 9, 4, 4)
         assert batch["next_obs"].shape == (64, 9, 4, 4)
         assert batch["discount_mask"].shape == (64,)
         assert set(np.asarray(batch["discount_mask"]).tolist()) <= {0.0, 1.0}
+
+    def test_truncation_bootstraps_with_final_obs(self):
+        """SB3 handle_timeout_termination: a truncated (not terminated) cell
+        keeps discount 1 and next_obs ends with the episode's true final
+        frame, NOT the auto-reset successor episode's first frame."""
+        buf = self._mk(e=1, n=16)
+        no = jnp.zeros((1,), bool)
+        yes = jnp.ones((1,), bool)
+        f = lambda v: jnp.full((1, 3, 4, 4), v, jnp.uint8)
+        buf = self._add(buf, f(1), no, no)
+        buf = self._add(buf, f(2), no, no)
+        # truncation at frame 3: the true final obs is 99 (never a cell)
+        buf = self._add(buf, f(3), yes, no, final=f(99))
+        # next episode starts with frame 50
+        buf = self._add(buf, f(50), no, no)
+        buf = self._add(buf, f(51), no, no)
+
+        # cell 2 is the truncated transition
+        e0 = jnp.zeros((4,), jnp.int32)
+        idx = jnp.full((4,), 2, jnp.int32)
+        n = buf.frames.shape[1]
+        # reconstruct what sample() builds, pinned to cell 2
+        obs = jax.vmap(replay._stack_at, in_axes=(None, 0, 0, None))(
+            buf, e0, idx, 3)
+        term_f = buf.term_frames[e0, buf.term_slot[e0, idx]]
+        got = jnp.concatenate([obs[:, 3:], term_f], axis=1)
+        vals = np.asarray(got)[0, ::3, 0, 0]
+        # stack at cell 2 is [1,2,3] -> next_obs must be [2,3,99]
+        np.testing.assert_array_equal(vals, [2, 3, 99])
+        # and via the public sampler: every drawn truncated cell has
+        # discount 1 and newest next frame 99; the terminal frame 50 (next
+        # episode) never leaks in
+        batch = jax.jit(replay.sample, static_argnums=(2, 3))(buf, K(3),
+                                                              256, 3)
+        done = np.asarray(batch["done"])
+        disc = np.asarray(batch["discount_mask"])
+        newest = np.asarray(batch["next_obs"])[:, 6, 0, 0]
+        trunc_rows = done & (disc > 0.5)
+        assert trunc_rows.any()
+        np.testing.assert_array_equal(newest[trunc_rows], 99)
+        # truncated (timeout) cells bootstrap: discount stays 1
+        np.testing.assert_array_equal(disc[done], 1.0)
+
+    def test_termination_zeroes_discount(self):
+        buf = self._mk(e=1, n=16)
+        no = jnp.zeros((1,), bool)
+        yes = jnp.ones((1,), bool)
+        f = lambda v: jnp.full((1, 3, 4, 4), v, jnp.uint8)
+        for i in range(3):
+            buf = self._add(buf, f(i), no, no)
+        buf = self._add(buf, f(3), yes, yes)   # true termination
+        for i in range(4, 8):
+            buf = self._add(buf, f(i), no, no)
+        batch = jax.jit(replay.sample, static_argnums=(2, 3))(buf, K(0),
+                                                              256, 3)
+        done = np.asarray(batch["done"])
+        disc = np.asarray(batch["discount_mask"])
+        assert done.any()
+        np.testing.assert_array_equal(disc[done], 0.0)
+        np.testing.assert_array_equal(disc[~done], 1.0)
 
 
 class TestGAE:
@@ -197,6 +262,55 @@ def _tiny_batch(n=8, res=16, c=9):
         discount_mask=jnp.ones((n,)),
         done=jnp.zeros((n,), bool),
     )
+
+
+class TestSACAlphaLoss:
+    def test_sb3_gradient_form(self):
+        """d/dlog_alpha of SB3's loss is -(logp + target_entropy) — NOT
+        scaled by exp(log_alpha) (reference baseline: sb3 sac.py)."""
+        from torchdriveenv_tpu.rl.sac import alpha_loss_sb3
+        g = jax.grad(alpha_loss_sb3)(jnp.asarray(3.0), jnp.asarray(-1.5),
+                                     -2.0)
+        # independent of log_alpha's value; equals -(logp + H) = 3.5
+        np.testing.assert_allclose(float(g), 3.5, atol=1e-6)
+        g2 = jax.grad(alpha_loss_sb3)(jnp.asarray(-4.0), jnp.asarray(-1.5),
+                                      -2.0)
+        np.testing.assert_allclose(float(g2), 3.5, atol=1e-6)
+
+
+class TestLearningStarts:
+    def test_warmup_skips_updates_then_learns(self, assets_val):
+        """Until env_steps >= learning_starts, actions are random and no
+        gradient updates run (SB3 off_policy_algorithm warmup)."""
+        from torchdriveenv_tpu.config import EnvConfig
+        from torchdriveenv_tpu.parallel.train_step import (
+            make_offpolicy_train_fns,
+        )
+
+        cfg = EnvConfig(ego_only=True)
+        cfg.simulator.renderer.obs_res = 32
+        sac = SAC(SACConfig(batch_size=4, learning_starts=8))
+        init_fn, train_fn = make_offpolicy_train_fns(
+            cfg, sac, num_envs=2, buffer_capacity=64,
+            steps_per_iter=2, updates_per_iter=1)
+        carry = jax.jit(init_fn)(assets_val, K(0))
+        step = jax.jit(train_fn)
+        p0 = jax.tree.leaves(carry.agent_state.actor_params)[0].copy()
+
+        # iter 1: env_steps 0 -> 4 (< 8): warmup, params frozen
+        carry, m = step(assets_val, carry)
+        p1 = jax.tree.leaves(carry.agent_state.actor_params)[0]
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        assert float(m["critic_loss"]) == 0.0
+        # iter 2: env_steps 4 -> 8 (still < 8 at entry): warmup
+        carry, m = step(assets_val, carry)
+        p2 = jax.tree.leaves(carry.agent_state.actor_params)[0]
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p2))
+        # iter 3: env_steps 8 at entry: learning begins
+        carry, m = step(assets_val, carry)
+        p3 = jax.tree.leaves(carry.agent_state.actor_params)[0]
+        assert not np.allclose(np.asarray(p0), np.asarray(p3))
+        assert np.isfinite(float(m["critic_loss"]))
 
 
 class TestLearners:

@@ -26,11 +26,16 @@ from torchdriveenv_tpu.ops.rasterizer_pallas import render_observation
 
 class StepOutput(NamedTuple):
     state: Any                 # EnvState batch
-    obs: jnp.ndarray           # (B, 3, res, res) uint8
+    obs: jnp.ndarray           # (B, 3, res, res) uint8 (post-auto-reset)
     reward: jnp.ndarray        # (B,)
     terminated: jnp.ndarray    # (B,) bool
     truncated: jnp.ndarray     # (B,) bool
     info: Dict[str, jnp.ndarray]
+    # pre-auto-reset obs (the true next/terminal observation; equals `obs`
+    # for non-done envs). Populated only when `with_final_obs=True` — needed
+    # by SB3-style truncation bootstrapping (rl/buffer.py); the reference
+    # exposes it as infos["terminal_observation"] via SB3's VecEnv.
+    final_obs: Any = None
 
 
 def _obs_batched(cfg: EnvConfig, assets: Assets, state: core.EnvState) -> jnp.ndarray:
@@ -74,6 +79,9 @@ def _autoreset(cfg: EnvConfig, assets: Assets, next_state, done):
     unchanged; if more than R envs finish in one step, entries are reused
     modulo R (documented deviation; R defaults to 256, ~10x the steady-state
     per-step done count).
+
+    Returns (out_state, fresh_pool_or_None, pool_idx_or_None); the pool info
+    lets callers render only the (few) fresh states instead of the batch.
     """
     B = done.shape[0]
     keys = jax.vmap(jax.random.split)(next_state.rng)      # (B, 2, 2)
@@ -88,9 +96,9 @@ def _autoreset(cfg: EnvConfig, assets: Assets, next_state, done):
         fresh = jax.tree.map(lambda f: f[idx], fresh_pool)
         # consumed pool entries carry the consuming env's fresh key
         fresh = fresh.replace(rng=k_reset)
-    else:
-        fresh = jax.vmap(lambda k: core.reset(cfg, assets, k))(k_reset)
-    return _select_done(done, fresh, next_state)
+        return _select_done(done, fresh, next_state), fresh_pool, idx
+    fresh = jax.vmap(lambda k: core.reset(cfg, assets, k))(k_reset)
+    return _select_done(done, fresh, next_state), None, None
 
 
 def _step_autoreset(cfg: EnvConfig, assets: Assets, state, actions,
@@ -99,18 +107,24 @@ def _step_autoreset(cfg: EnvConfig, assets: Assets, state, actions,
         functools.partial(core.step, cfg, assets, npc_params=npc_params))(
         state, actions)
     done = term | trunc
-    out_state = _autoreset(cfg, assets, next_state, done)
+    out_state, _, _ = _autoreset(cfg, assets, next_state, done)
     return out_state, reward, term, trunc, info
 
 
-def make_env_fns(cfg: EnvConfig, assets: Assets,
-                 render: bool = True) -> Tuple[Callable, Callable]:
+def make_env_fns(cfg: EnvConfig, assets: Assets, render: bool = True,
+                 with_final_obs: bool = False) -> Tuple[Callable, Callable]:
     """Pure, unjitted batched (reset_fn, step_fn).
 
     reset_fn(keys[B]) -> (state, obs)
     step_fn(state, actions[B, 2]) -> StepOutput
     Obs rendering can be disabled (`render=False`) for state-based pipelines;
     obs is then a zero-size placeholder.
+
+    `with_final_obs=True` additionally exposes the pre-auto-reset observation
+    (`StepOutput.final_obs`) — the true terminal obs for done envs, required
+    for SB3-semantics truncation bootstrapping. In pooled-reset mode only the
+    pool (R << B states) is rendered a second time; otherwise the full batch
+    renders twice.
     """
     reset_one = functools.partial(core.reset, cfg, assets)
     obs_batched = functools.partial(_obs_batched, cfg, assets)
@@ -125,10 +139,32 @@ def make_env_fns(cfg: EnvConfig, assets: Assets,
         return state, obs
 
     def step_fn(state, actions: jnp.ndarray) -> StepOutput:
-        state, reward, term, trunc, info = _step_autoreset(
-            cfg, assets, state, actions, npc_params=npc_params)
-        obs = obs_batched(state) if render else _no_obs(reward.shape[0], cfg)
-        return StepOutput(state, obs, reward, term, trunc, info)
+        next_state, reward, term, trunc, info = jax.vmap(
+            functools.partial(core.step, cfg, assets, npc_params=npc_params))(
+            state, actions)
+        done = term | trunc
+        if not with_final_obs:
+            out_state, _, _ = _autoreset(cfg, assets, next_state, done)
+            obs = obs_batched(out_state) if render \
+                else _no_obs(reward.shape[0], cfg)
+            return StepOutput(out_state, obs, reward, term, trunc, info)
+
+        # pre-reset render: the true next/terminal observation
+        final_obs = obs_batched(next_state) if render \
+            else _no_obs(reward.shape[0], cfg)
+        out_state, fresh_pool, idx = _autoreset(cfg, assets, next_state, done)
+        if render:
+            if fresh_pool is not None:
+                pool_obs = obs_batched(fresh_pool)          # (R, 3, res, res)
+                obs = jnp.where(done[:, None, None, None],
+                                pool_obs[idx], final_obs)
+            else:
+                obs = jnp.where(done[:, None, None, None],
+                                obs_batched(out_state), final_obs)
+        else:
+            obs = final_obs
+        return StepOutput(out_state, obs, reward, term, trunc, info,
+                          final_obs=final_obs)
 
     return reset_fn, step_fn
 

@@ -54,6 +54,7 @@ WAYPOINT_RADIUS = 2.0      # meters
 STOPLINE_HALF_THICK = 0.7  # meters
 RENDER_MAX_AGENTS = 16     # per-pixel OBB tests after visibility culling
 RENDER_MAX_LIGHTS = 4      # per-pixel stopline tests after visibility culling
+RENDER_MAX_WAYPOINTS = 8   # per-pixel disc tests after visibility culling
 
 
 def _pixel_world_coords(ego_state: jnp.ndarray, res: int, fov: float,
@@ -118,14 +119,26 @@ def render_egocentric(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
     sdf = _sample_sdf_nearest(maps, town, pts)
     road = sdf > 0.0
 
-    # current waypoint target disc (reference renders WaypointGoal,
-    # gym_env.py:252-257)
+    # full masked waypoint sequence: the reference feeds every waypoint
+    # except index 0 to the renderer for the whole episode
+    # (gym_env.py:252-257: mask = [False] + [True]*(N-1), static), so the
+    # policy sees the entire remaining route, not just the current target.
+    # Off-screen waypoints can't color a pixel — cull to the nearest
+    # RENDER_MAX_WAYPOINTS inside the FOV window. `target_idx` is kept in
+    # the signature for API stability but does not affect rendering.
+    del target_idx
     w = waypoints.shape[0]
-    tgt = waypoints[jnp.clip(target_idx, 0, w - 1)]
-    tgt_valid = target_idx < n_waypoints
-    d_wp = pts - tgt[None, None, :]
-    wp_hit = (jnp.sum(d_wp * d_wp, axis=-1)
-              < WAYPOINT_RADIUS * WAYPOINT_RADIUS) & tgt_valid
+    wp_ids = jnp.arange(w)
+    wp_mask = (wp_ids >= 1) & (wp_ids < n_waypoints)
+    wp_d2 = jnp.sum((waypoints - ego[None, :2]) ** 2, axis=-1)
+    wp_half_diag = fov * 0.7071 + WAYPOINT_RADIUS
+    wp_visible = wp_mask & (wp_d2 < wp_half_diag * wp_half_diag)
+    wk = min(RENDER_MAX_WAYPOINTS, w)
+    _, w_top = jax.lax.top_k(jnp.where(wp_visible, -wp_d2, -jnp.inf), wk)
+    d_wp = pts[..., None, :] - waypoints[w_top][None, None, :, :]
+    wp_hit = jnp.any((jnp.sum(d_wp * d_wp, axis=-1)
+                      < WAYPOINT_RADIUS * WAYPOINT_RADIUS)
+                     & wp_visible[w_top][None, None, :], axis=-1)
 
     # stoplines tinted by live light state; cull to the RENDER_MAX_LIGHTS
     # nearest lights (only lights inside the FOV window can color a pixel)

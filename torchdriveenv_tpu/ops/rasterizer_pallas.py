@@ -44,6 +44,7 @@ from torchdriveenv_tpu.ops.rasterizer import (
     COLOR_WAYPOINT,
     RENDER_MAX_AGENTS,
     RENDER_MAX_LIGHTS,
+    RENDER_MAX_WAYPOINTS,
     STOPLINE_HALF_THICK,
     WAYPOINT_RADIUS,
 )
@@ -75,19 +76,33 @@ def prepare_obs_inputs(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
                        fov: float):
     """Cull and pack one env's render inputs into fixed blocks.
 
-    Returns (ci, cj, nseg, env_block (8, 8), agent_block (16, 8)):
+    Returns (ci, cj, nseg, env_block (8, 8), agent_block (16, 8),
+             wp_block (8, 8)):
       env_block row 0: ego  [x, y, cos, sin, half_len, half_wid, 0, 0]
-      env_block row 1: goal [x, y, valid, 0, ...]
       env_block rows 2..5: stoplines [p0x, p0y, p1x, p1y, r, g, b, active]
       agent_block rows: NPCs [x, y, cos, sin, half_len, half_wid, present, 0]
+      wp_block rows: waypoints [x, y, valid, 0, ...]
     """
     ego = agent_states[0]
     c_ego, s_ego = jnp.cos(ego[2]), jnp.sin(ego[2])
 
-    # current waypoint goal (reference renders WaypointGoal, gym_env.py:252-257)
+    # full masked waypoint sequence culled to the nearest visible discs
+    # (the reference renders every waypoint except index 0 all episode,
+    # gym_env.py:252-257; `target_idx` kept in the signature for API
+    # stability but rendering does not depend on it)
+    del target_idx
     w = waypoints.shape[0]
-    tgt = waypoints[jnp.clip(target_idx, 0, w - 1)]
-    tgt_valid = (target_idx < n_waypoints).astype(jnp.float32)
+    wp_ids = jnp.arange(w)
+    wp_mask = (wp_ids >= 1) & (wp_ids < n_waypoints)
+    wp_d2 = jnp.sum((waypoints - ego[None, :2]) ** 2, axis=-1)
+    wp_half_diag = fov * 0.7071 + WAYPOINT_RADIUS
+    wp_visible = wp_mask & (wp_d2 < wp_half_diag * wp_half_diag)
+    wk = min(RENDER_MAX_WAYPOINTS, w)
+    _, w_top = jax.lax.top_k(jnp.where(wp_visible, -wp_d2, -jnp.inf), wk)
+    wp_rows = jnp.concatenate([
+        waypoints[w_top], wp_visible[w_top][:, None].astype(jnp.float32),
+        jnp.zeros((wk, 5))], axis=-1)                              # (wk, 8)
+    wp_block = jnp.pad(wp_rows, ((0, 8 - wk), (0, 0)))
 
     # stoplines culled to the nearest RENDER_MAX_LIGHTS visible lights
     p0_all, p1_all = maps.stop_p0[town], maps.stop_p1[town]
@@ -123,8 +138,6 @@ def prepare_obs_inputs(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
     env_block = env_block.at[0].set(jnp.stack([
         ego[0], ego[1], c_ego, s_ego,
         agent_attrs[0, 0] * 0.5, agent_attrs[0, 1] * 0.5, 0.0, 0.0]))
-    env_block = env_block.at[1, :3].set(
-        jnp.stack([tgt[0], tgt[1], tgt_valid]))
     env_block = env_block.at[2:6].set(sl_rows)
 
     # coarse segment-index cell of the ego
@@ -132,7 +145,7 @@ def prepare_obs_inputs(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
     cell = ((ego[:2] - maps.origin[town]) / maps.seg_cell).astype(jnp.int32)
     cell = jnp.clip(cell, 0, cgrid - 1)
     nseg = maps.seg_cell_n[town, cell[0], cell[1]]
-    return cell[0], cell[1], nseg, env_block, agent_block
+    return cell[0], cell[1], nseg, env_block, agent_block, wp_block
 
 
 # ---------------------------------------------------------------------------
@@ -198,14 +211,23 @@ def _seg_dist2_scalar(p0x, p0y, p1x, p1y, px, py):
     return dx * dx + dy * dy
 
 
-def _composite(px, py, road, env_block, agent_block, highlight_ego: bool):
+def _wp_hit(wp_block, px, py):
+    """wp_block (W, 8) waypoint rows [x, y, valid, ...] vs px/py
+    -> (*pix) bool any-inside-disc."""
+    shape = (wp_block.shape[0],) + px.shape
+    bc = lambda v: jax.lax.broadcast_in_dim(v, shape, (0, 1))
+    dx = px[None] - bc(wp_block[:, 0:1])
+    dy = py[None] - bc(wp_block[:, 1:2])
+    hit = ((dx * dx + dy * dy < WAYPOINT_RADIUS * WAYPOINT_RADIUS)
+           & (bc(wp_block[:, 2:3]) > 0.0))
+    return jnp.any(hit, axis=0)
+
+
+def _composite(px, py, road, env_block, agent_block, wp_block,
+               highlight_ego: bool):
     """Overlay stack -> 3 float planes shaped like px."""
     ego_row = env_block[0]
-    wp = env_block[1]
-
-    d2wp = (px - wp[0]) ** 2 + (py - wp[1]) ** 2
-    wp_hit = (d2wp < WAYPOINT_RADIUS * WAYPOINT_RADIUS) & (wp[2] > 0.0)
-
+    wp_hit = _wp_hit(wp_block, px, py)
     npc_hit = _obb_hit(agent_block, px, py)
 
     # ego OBB from scalars
@@ -244,7 +266,7 @@ def _make_kernel(res: int, fov: float, left_handed: bool, highlight_ego: bool,
     n_blocks = seg_k // SEG_BLOCK
 
     def kernel(town_ref, ci_ref, cj_ref, nseg_ref,      # scalar prefetch
-               seg_ref, env_ref, ag_ref,                # VMEM inputs
+               seg_ref, env_ref, ag_ref, wp_ref,        # VMEM inputs
                out_ref,                                 # (1, 3, n_sub, 128)
                road_ref):                               # scratch (n_sub, 128)
         i = pl.program_id(0)
@@ -277,7 +299,8 @@ def _make_kernel(res: int, fov: float, left_handed: bool, highlight_ego: bool,
                 road_ref[:, :] = acc
         road = road_ref[:, :] > 0.0
 
-        chans = _composite(px, py, road, env_block, ag_ref[0], highlight_ego)
+        chans = _composite(px, py, road, env_block, ag_ref[0], wp_ref[0],
+                           highlight_ego)
         # Mosaic has no f32->uint8 cast; route through int32
         out_ref[0] = jnp.stack(chans).astype(jnp.int32).astype(jnp.uint8)
 
@@ -287,7 +310,8 @@ def _make_kernel(res: int, fov: float, left_handed: bool, highlight_ego: bool,
 @functools.partial(jax.jit, static_argnames=("res", "fov", "left_handed",
                                              "highlight_ego", "interpret"))
 def _render_pallas(maps: MapArrays, town, ci, cj, nseg, env_block, agent_block,
-                   res: int = 64, fov: float = 70.0, left_handed: bool = True,
+                   wp_block, res: int = 64, fov: float = 70.0,
+                   left_handed: bool = True,
                    highlight_ego: bool = True, interpret: bool = False):
     B = town.shape[0]
     seg_k = maps.seg_data.shape[3]
@@ -307,6 +331,8 @@ def _render_pallas(maps: MapArrays, town, ci, cj, nseg, env_block, agent_block,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, 8), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 8), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 3, n_sub, N_LANES),
                                lambda i, *_: (i, 0, 0, 0),
@@ -319,7 +345,8 @@ def _render_pallas(maps: MapArrays, town, ci, cj, nseg, env_block, agent_block,
         grid_spec=grid_spec,
         interpret=interpret,
     )(town.astype(jnp.int32), ci.astype(jnp.int32), cj.astype(jnp.int32),
-      nseg.astype(jnp.int32), maps.seg_data, env_block, agent_block)
+      nseg.astype(jnp.int32), maps.seg_data, env_block, agent_block,
+      wp_block)
     return out.reshape(B, 3, res, res)
 
 
@@ -329,7 +356,8 @@ def _render_pallas(maps: MapArrays, town, ci, cj, nseg, env_block, agent_block,
 
 
 def render_obs_ref(maps: MapArrays, town, ci, cj, nseg, env_block, agent_block,
-                   res: int = 64, fov: float = 70.0, left_handed: bool = True,
+                   wp_block, res: int = 64, fov: float = 70.0,
+                   left_handed: bool = True,
                    highlight_ego: bool = True) -> jnp.ndarray:
     """Single-env render from packed blocks -> (3, res, res) uint8."""
     seg = maps.seg_data[town, ci, cj]                   # (K, 8)
@@ -343,7 +371,8 @@ def render_obs_ref(maps: MapArrays, town, ci, cj, nseg, env_block, agent_block,
     for s0 in range(0, k, SEG_CHUNK):
         road = road | _seg_chunk_hit(seg[s0:s0 + SEG_CHUNK], px, py)
 
-    chans = _composite(px, py, road, env_block, agent_block, highlight_ego)
+    chans = _composite(px, py, road, env_block, agent_block, wp_block,
+                       highlight_ego)
     return jnp.stack(chans).astype(jnp.uint8)
 
 
@@ -366,17 +395,17 @@ def render_observation(maps: MapArrays, town, t, agent_states, agent_attrs,
         prepare_obs_inputs, maps, fov=fov))(
         town, t, agent_states, agent_attrs, present, waypoints,
         target_idx, n_waypoints)
-    ci, cj, nseg, env_block, agent_block = prep
+    ci, cj, nseg, env_block, agent_block, wp_block = prep
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         return _render_pallas(maps, town, ci, cj, nseg, env_block,
-                              agent_block, res=res, fov=fov,
+                              agent_block, wp_block, res=res, fov=fov,
                               left_handed=left_handed,
                               highlight_ego=highlight_ego)
     fn = functools.partial(render_obs_ref, res=res, fov=fov,
                            left_handed=left_handed,
                            highlight_ego=highlight_ego)
     return jax.vmap(functools.partial(fn, maps))(
-        town, ci, cj, nseg, env_block, agent_block)
+        town, ci, cj, nseg, env_block, agent_block, wp_block)

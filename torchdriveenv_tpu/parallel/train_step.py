@@ -49,6 +49,10 @@ def make_offpolicy_train_fns(env_cfg: EnvConfig, agent, num_envs: int,
     When `mesh` is given the caller is expected to have placed carry leaves
     with the env axis sharded (parallel.mesh.shard_batch) — annotations
     propagate from inputs.
+
+    SB3 warmup semantics (`learning_starts`, sb3 off_policy_algorithm):
+    while total env steps < learning_starts, actions are drawn uniformly
+    from the action space and no gradient updates run.
     """
     fs = env_cfg.frame_stack
     res = env_cfg.simulator.renderer.obs_res
@@ -67,17 +71,22 @@ def make_offpolicy_train_fns(env_cfg: EnvConfig, agent, num_envs: int,
 
     def train_step_fn(assets: Assets, carry: OffPolicyCarry
                       ) -> Tuple[OffPolicyCarry, dict]:
-        _, step_fn = make_env_fns(env_cfg, assets, render=True)
+        _, step_fn = make_env_fns(env_cfg, assets, render=True,
+                                  with_final_obs=True)
+        warmup = carry.env_steps < agent.cfg.learning_starts
 
         def env_step(subcarry, _):
             rs, buf = subcarry
-            k_act, k_next = jax.random.split(rs.key)
-            a = agent.select_action(carry.agent_state, rs.obs_stack, k_act)
+            k_act, k_rand, k_next = jax.random.split(rs.key, 3)
+            a_pi = agent.select_action(carry.agent_state, rs.obs_stack, k_act)
+            a_rand = jax.random.uniform(k_rand, a_pi.shape,
+                                        minval=-1.0, maxval=1.0)
+            a = jnp.where(warmup, a_rand, a_pi)
             out = step_fn(rs.env_state, scale_action(a))
             done = out.terminated | out.truncated
             cur_frame = rs.obs_stack[:, -3:]
             buf = replay.add(buf, cur_frame, a, out.reward, done,
-                             out.terminated)
+                             out.terminated, out.final_obs)
             stack = update_stack(rs.obs_stack, out.obs, done)
             return (RolloutState(out.state, stack, k_next), buf), out.reward
 
@@ -93,9 +102,18 @@ def make_offpolicy_train_fns(env_cfg: EnvConfig, agent, num_envs: int,
             return agent_state, m
 
         k_learn, k_next = jax.random.split(carry.key)
-        agent_state, metrics = jax.lax.scan(
-            learn, carry.agent_state, jax.random.split(
-                k_learn, updates_per_iter))
+        learn_keys = jax.random.split(k_learn, updates_per_iter)
+
+        def do_learn(agent_state):
+            return jax.lax.scan(learn, agent_state, learn_keys)
+
+        def skip_learn(agent_state):
+            shapes = jax.eval_shape(do_learn, agent_state)
+            return agent_state, jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes[1])
+
+        agent_state, metrics = jax.lax.cond(
+            warmup, skip_learn, do_learn, carry.agent_state)
 
         new_carry = OffPolicyCarry(
             rollout=rs, buffer=buf, agent_state=agent_state, key=k_next,

@@ -1,10 +1,11 @@
 """A2C learner (jitted, device-resident).
 
-Matches the reference's SB3 A2C baseline (examples/rl_training.py:176-178:
-``A2C("CnnPolicy", env, n_steps=256 // n_envs, gae_lambda=0.95)``) with SB3
-defaults otherwise: RMSprop-like lr 7e-4, gamma 0.99, vf_coef 0.5,
-ent_coef 0.0, max_grad_norm 0.5, no advantage normalization, single pass
-over the whole rollout (no minibatching, no clipping).
+Matches the reference's SB3 A2C baseline (examples/rl_training.py:176-179:
+``A2C("CnnPolicy", env, policy_kwargs={'optimizer_class': Adam},
+n_steps=256 // n_envs, gae_lambda=0.95, ent_coef=0.01)``) with SB3 defaults
+otherwise: lr 7e-4, gamma 0.99, vf_coef 0.5, max_grad_norm 0.5, no advantage
+normalization, single pass over the whole rollout (no minibatching, no
+clipping). The reference overrides SB3's default RMSpropTFLike with Adam.
 """
 
 from __future__ import annotations
@@ -29,8 +30,8 @@ class A2CConfig:
     lr: float = 7e-4
     n_steps: int = 26             # reference: 256 // n_envs with n_envs=10
     gamma: float = 0.99
-    gae_lambda: float = 0.95      # reference rl_training.py:177
-    ent_coef: float = 0.0
+    gae_lambda: float = 0.95      # reference rl_training.py:178
+    ent_coef: float = 0.01        # reference rl_training.py:178
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
 
@@ -47,10 +48,11 @@ class A2C:
         self.cfg = cfg
         self.net = GaussianActorCritic()
         self.obs_channels = obs_channels
-        # SB3 uses RMSpropTFLike(alpha=0.99, eps=1e-5)
+        # reference passes optimizer_class=torch.optim.Adam
+        # (rl_training.py:178), overriding SB3's default RMSpropTFLike
         self.opt = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
-            optax.rmsprop(cfg.lr, decay=0.99, eps=1e-5),
+            optax.adam(cfg.lr),
         )
 
     def init(self, key: jnp.ndarray, obs_res: int = 64) -> A2CState:

@@ -6,9 +6,27 @@ stacked uint8 obs on device would cost frame_stack x the HBM; instead we
 store each *single* frame once per (env, time) cell and gather the stack at
 sample time. Episode boundaries are respected: frames older than the current
 episode's start are replaced by the episode's first frame (SB3's
-VecFrameStack pads the stack with repeated frames after reset... it actually
-zero-pads; we repeat the boundary frame which is strictly more informative
-and standard in JAX RL stacks — documented deviation).
+VecFrameStack zero-pads; we repeat the boundary frame which is strictly more
+informative and standard in JAX RL stacks — documented deviation).
+
+Truncation bootstrapping (SB3 ``handle_timeout_termination`` semantics): a
+transition that ended by TIMEOUT (truncated, not terminated) must bootstrap
+through the episode boundary using the episode's true final observation —
+zeroing its discount systematically biases value targets on exactly the
+successful (200-step) trajectories. The final observation of a truncated
+episode is not any buffer cell (the next cell holds the NEW episode's first
+frame after in-graph auto-reset), so it is kept in a small side ring:
+
+  term_frames (E, K, C, H, W)  terminal-frame slots, K ~ capacity/64
+  term_ptr    (E,) int32       next slot per env (advances on truncation)
+  term_slot   (E, N) int32     which slot holds this cell's terminal frame
+
+`add` unconditionally writes the step's final frame into the env's next free
+slot and advances the pointer only on truncation — no conditional scatter.
+A slot can be recycled while its cell is still sampleable only if more than
+K truncations happen within one buffer wrap; truncations occur at most every
+`max_environment_steps` (200) steps per env, so K = capacity/64 gives >3x
+headroom (documented bound).
 
 Layout: ring buffer over time, vectorized over envs:
   frames      (E, N, 3, H, W) uint8
@@ -38,6 +56,9 @@ class ReplayBuffer:
     done: jnp.ndarray        # (E, N) bool
     terminal: jnp.ndarray    # (E, N) bool
     ep_start: jnp.ndarray    # (E, N) int32
+    term_frames: jnp.ndarray  # (E, K, C, H, W) uint8 truncation-obs side ring
+    term_slot: jnp.ndarray   # (E, N) int32 side-ring slot for this cell
+    term_ptr: jnp.ndarray    # (E,) int32 next free side-ring slot
     pos: jnp.ndarray         # () int32 next write index
     filled: jnp.ndarray      # () int32 number of valid cells per env
     cur_ep_start: jnp.ndarray  # (E,) int32 ring index of the running episode start
@@ -47,6 +68,7 @@ def create(num_envs: int, capacity: int, obs_shape: Tuple[int, int, int],
            action_dim: int = 2) -> ReplayBuffer:
     c, h, w = obs_shape
     e, n = num_envs, capacity
+    k = max(capacity // 64, 8)
     return ReplayBuffer(
         frames=jnp.zeros((e, n, c, h, w), jnp.uint8),
         action=jnp.zeros((e, n, action_dim), jnp.float32),
@@ -54,6 +76,9 @@ def create(num_envs: int, capacity: int, obs_shape: Tuple[int, int, int],
         done=jnp.zeros((e, n), bool),
         terminal=jnp.zeros((e, n), bool),
         ep_start=jnp.zeros((e, n), jnp.int32),
+        term_frames=jnp.zeros((e, k, c, h, w), jnp.uint8),
+        term_slot=jnp.zeros((e, n), jnp.int32),
+        term_ptr=jnp.zeros((e,), jnp.int32),
         pos=jnp.zeros((), jnp.int32),
         filled=jnp.zeros((), jnp.int32),
         cur_ep_start=jnp.zeros((e,), jnp.int32),
@@ -61,15 +86,22 @@ def create(num_envs: int, capacity: int, obs_shape: Tuple[int, int, int],
 
 
 def add(buf: ReplayBuffer, frame: jnp.ndarray, action: jnp.ndarray,
-        reward: jnp.ndarray, done: jnp.ndarray, terminal: jnp.ndarray
-        ) -> ReplayBuffer:
+        reward: jnp.ndarray, done: jnp.ndarray, terminal: jnp.ndarray,
+        final_frame: jnp.ndarray) -> ReplayBuffer:
     """Append one transition per env.
 
-    frame: (E, C, H, W) the obs the action was computed FROM; reward/done for
-    the resulting step.
+    frame: (E, C, H, W) the obs the action was computed FROM; reward/done
+    for the resulting step. final_frame: (E, C, H, W) the obs AFTER the step
+    *before* any auto-reset (`StepOutput.final_obs`) — the terminal obs of
+    the episode when done; stored in the side ring for truncated episodes so
+    sampling can bootstrap through timeouts (SB3 handle_timeout_termination).
     """
-    n = buf.frames.shape[1]
+    e, n = buf.frames.shape[:2]
+    k = buf.term_frames.shape[1]
     i = buf.pos % n
+    trunc_only = done & ~terminal
+    slot = buf.term_ptr % k                                  # (E,)
+    env_ids = jnp.arange(e)
     new = buf.replace(
         frames=buf.frames.at[:, i].set(frame),
         action=buf.action.at[:, i].set(action),
@@ -77,6 +109,11 @@ def add(buf: ReplayBuffer, frame: jnp.ndarray, action: jnp.ndarray,
         done=buf.done.at[:, i].set(done),
         terminal=buf.terminal.at[:, i].set(terminal),
         ep_start=buf.ep_start.at[:, i].set(buf.cur_ep_start),
+        # write into the next-free slot unconditionally; the pointer only
+        # advances (freezing the frame) when this step truncated the episode
+        term_frames=buf.term_frames.at[env_ids, slot].set(final_frame),
+        term_slot=buf.term_slot.at[:, i].set(slot),
+        term_ptr=buf.term_ptr + trunc_only.astype(jnp.int32),
         pos=buf.pos + 1,
         filled=jnp.minimum(buf.filled + 1, n),
         cur_ep_start=jnp.where(done, (i + 1) % n, buf.cur_ep_start),
@@ -104,13 +141,15 @@ def sample(buf: ReplayBuffer, key: jnp.ndarray, batch_size: int,
     """Uniform sample of transitions with stacked obs/next_obs.
 
     Returns dict(obs (B, S*C, H, W) uint8, action, reward, next_obs,
-    discount_mask (0 where terminal)). Cells whose *next* frame is in a
-    different episode (done at the cell) are valid: next_obs is then the
-    stacked obs at the same cell (unused, masked by discount 0) for
-    terminals; for truncation-only dones we avoid sampling the cell by
-    resampling weight 0 — SB3 similarly skips buffer edge cells.
+    discount_mask, done). SB3 bootstrap semantics:
+      - terminated cells: discount 0 (next_obs content is irrelevant);
+      - truncated cells: discount 1 and next_obs is the episode's true final
+        observation (side-ring frame appended to the cell's own stack) —
+        SB3's handle_timeout_termination;
+      - ordinary cells: discount 1, next_obs from the following cell.
     """
     e, n = buf.frames.shape[:2]
+    c = buf.frames.shape[2]
     k_env, k_idx = jax.random.split(key)
     env_idx = jax.random.randint(k_env, (batch_size,), 0, e)
     # valid cells: written, and not the most recent cell (its next frame may
@@ -123,18 +162,22 @@ def sample(buf: ReplayBuffer, key: jnp.ndarray, batch_size: int,
     obs = jax.vmap(_stack_at, in_axes=(None, 0, 0, None))(
         buf, env_idx, idx, frame_stack)
     done = buf.done[env_idx, idx]
+    terminal = buf.terminal[env_idx, idx]
+    trunc_only = done & ~terminal
     nxt = (idx + 1) % n
     next_obs = jax.vmap(_stack_at, in_axes=(None, 0, 0, None))(
         buf, env_idx, nxt, frame_stack)
-    # where the episode ended at idx, the next frame belongs to a NEW episode
-    # (in-graph auto-reset), so discount is zeroed for ALL dones. Deviation
-    # from SB3's handle_timeout_termination (which bootstraps at truncation
-    # using the stored terminal obs); we don't keep terminal observations.
+    # truncated cells: true final obs = this cell's stack shifted by the
+    # side-ring terminal frame
+    term_f = buf.term_frames[env_idx, buf.term_slot[env_idx, idx]]
+    trunc_next = jnp.concatenate([obs[:, c:], term_f], axis=1)
+    next_obs = jnp.where(trunc_only[:, None, None, None],
+                         trunc_next, next_obs)
     return dict(
         obs=obs,
         action=buf.action[env_idx, idx],
         reward=buf.reward[env_idx, idx],
         next_obs=next_obs,
-        discount_mask=1.0 - done.astype(jnp.float32),
+        discount_mask=1.0 - terminal.astype(jnp.float32),
         done=done,
     )

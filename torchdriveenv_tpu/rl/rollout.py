@@ -93,7 +93,9 @@ def make_offpolicy_step(step_fn: Callable[[Any, jnp.ndarray], StepOutput],
         done = out.terminated | out.truncated
         c = rs.obs_stack.shape[1] // frame_stack
         cur_frame = rs.obs_stack[:, -c:]
-        buf = buffer_add(buf, cur_frame, a, out.reward, done, out.terminated)
+        final = out.final_obs if out.final_obs is not None else out.obs
+        buf = buffer_add(buf, cur_frame, a, out.reward, done, out.terminated,
+                         final)
         new_stack = update_stack(rs.obs_stack, out.obs, done)
         return RolloutState(out.state, new_stack, k_next), buf, out
 

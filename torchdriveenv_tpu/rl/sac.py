@@ -33,10 +33,23 @@ class SACConfig:
     gamma: float = 0.99
     tau: float = 0.005
     batch_size: int = 256
-    buffer_size: int = 100_000      # reference rl_training.py:168
-    learning_starts: int = 100
+    # SB3 default is 1e6 transitions; we keep 1e5 so single frames
+    # (E*N, 3, 64, 64) stay comfortably inside one chip's HBM alongside the
+    # envs and learner (documented deviation; the reference keeps the buffer
+    # in host RAM).
+    buffer_size: int = 100_000
+    learning_starts: int = 100      # SB3 default (sb3 off_policy_algorithm)
     target_entropy: float = -2.0    # -action_dim (SB3 "auto")
     init_alpha: float = 1.0
+
+
+def alpha_loss_sb3(log_alpha: jnp.ndarray, logp_mean: jnp.ndarray,
+                   target_entropy: float) -> jnp.ndarray:
+    """SB3's temperature loss: -(log_alpha * (logp + target_entropy)).
+
+    The gradient lands on log_alpha itself (d/dlog_alpha = -(logp + H_bar)),
+    not scaled by exp(log_alpha) — matches sb3 sac.py ent_coef_loss."""
+    return -(log_alpha * (logp_mean + target_entropy))
 
 
 @struct.dataclass
@@ -124,8 +137,8 @@ class SAC:
             actor_loss_fn, has_aux=True)(state.actor_params)
 
         def alpha_loss_fn(log_alpha):
-            return -(jnp.exp(log_alpha)
-                     * (logp_mean + cfg.target_entropy)), None
+            return alpha_loss_sb3(log_alpha, logp_mean,
+                                  cfg.target_entropy), None
 
         (alpha_loss, _), alpha_grad = jax.value_and_grad(
             alpha_loss_fn, has_aux=True)(state.log_alpha)
