@@ -8,6 +8,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:  # tools/ imports (tests/test_map_fidelity.py)
+    sys.path.insert(0, _REPO_ROOT)
+
 import jax  # noqa: E402
 
 # belt and braces: a pytest plugin may have imported jax before this conftest,

@@ -43,6 +43,22 @@ from torchdriveenv_tpu.parallel.train_step import (
     make_onpolicy_train_fns,
 )
 from torchdriveenv_tpu.rl.evaluate import make_evaluator
+from torchdriveenv_tpu.rl.rollout import init_stack, update_stack
+from torchdriveenv_tpu.utils.video import save_video
+
+
+def _flatten_cfg(cfg, prefix="") -> dict:
+    """Flatten the config tree for wandb (reference rl_training.py:151-157
+    flattens env-* / tds-* prefixes the same way)."""
+    import dataclasses
+    out = {}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(v):
+            out.update(_flatten_cfg(v, prefix=f"{prefix}{f.name}-"))
+        else:
+            out[f"{prefix}{f.name}"] = getattr(v, "value", v)
+    return out
 
 
 def build_agent(algo: BaselineAlgorithm, obs_channels: int):
@@ -62,18 +78,33 @@ def build_agent(algo: BaselineAlgorithm, obs_channels: int):
 
 
 class MetricLogger:
-    """stdout + JSONL (+ TensorBoard when importable) metrics sink."""
+    """stdout + JSONL (+ TensorBoard / wandb when importable) metrics sink.
 
-    def __init__(self, log_dir: str, run_name: str):
+    wandb parity (reference rl_training.py:145-157): if the wandb package is
+    importable the run is initialized with the flattened config; otherwise
+    logging silently degrades to JSONL/TB — no network dependency.
+    """
+
+    def __init__(self, log_dir: str, run_name: str, wandb_config: dict = None,
+                 project: str = "torchdriveenv_tpu"):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{run_name}.jsonl")
         self._f = open(self.path, "a")
         self._tb = None
+        self._wandb = None
         try:
             from torch.utils.tensorboard import SummaryWriter
             self._tb = SummaryWriter(os.path.join(log_dir, run_name))
         except Exception:
             pass
+        try:
+            import wandb
+            self._wandb = wandb.init(
+                project=project, name=run_name,
+                mode=os.environ.get("WANDB_MODE", "offline"),
+                config=wandb_config or {})
+        except Exception:
+            self._wandb = None
 
     def log(self, step: int, metrics: dict, prefix: str = ""):
         flat = {f"{prefix}{k}": float(np.asarray(v))
@@ -83,14 +114,29 @@ class MetricLogger:
         if self._tb is not None:
             for k, v in flat.items():
                 self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(flat, step=step)
         print(f"[{step}] " + " ".join(f"{k}={v:.4g}" for k, v in flat.items()),
               flush=True)
 
 
-def save_checkpoint(ckpt_dir: str, step: int, carry):
+def save_checkpoint(ckpt_dir: str, name, carry):
+    """Full-carry checkpoint (params+opt+buffer+env states+keys) — rare.
+
+    The replay buffer makes a full carry ~GBs; the frequent artifact is the
+    small model-only save (`save_model`), matching the reference's wandb
+    model_save_freq behavior (rl_training.py:210-215)."""
     import orbax.checkpoint as ocp
-    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+    path = os.path.abspath(os.path.join(ckpt_dir, str(name)))
     ocp.PyTreeCheckpointer().save(path, jax.device_get(carry), force=True)
+
+
+def save_model(ckpt_dir: str, step: int, agent_state):
+    """Model-only save (few MB): reference wandb model_save_freq analogue."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, f"model_{step}"))
+    ocp.PyTreeCheckpointer().save(
+        path, jax.device_get(agent_state), force=True)
 
 
 def restore_checkpoint(path: str, carry_like):
@@ -109,7 +155,8 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
     agent, on_policy = build_agent(algo, obs_channels=3 * fs)
 
     run_name = f"{algo.value}-{int(time.time())}"
-    logger = MetricLogger(cfg.log_dir, run_name)
+    logger = MetricLogger(cfg.log_dir, run_name,
+                          wandb_config=_flatten_cfg(cfg), project=cfg.project)
     train_assets = load_assets("train")
     val_assets = load_assets("val")
 
@@ -132,14 +179,15 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
         carry = restore_checkpoint(resume_from, carry)
     train_step = jax.jit(train_fn, donate_argnums=(1,))
 
-    # --- evaluators (deterministic policy, reference rl_training.py:185-203)
-    def make_eval(assets, n_episodes):
+    # --- evaluators (reference rl_training.py:185-203); `deterministic`
+    # honored from RlCallbackConfig (reference common.py:19)
+    def make_eval(assets, n_episodes, deterministic):
         reset_fn, step_fn = make_env_fns(env_cfg, assets, render=True)
 
         def policy(agent_state, stack):
             out = agent.select_action(agent_state, stack,
                                       jax.random.PRNGKey(0),
-                                      deterministic=True)
+                                      deterministic=deterministic)
             return out[0] if isinstance(out, tuple) else out
 
         ev = make_evaluator(reset_fn, step_fn, policy, fs, scale_action,
@@ -148,27 +196,73 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
             jax.random.split(key, n_episodes), agent_state))
 
     n_ep = max(cfg.eval_val_callback.eval_n_episodes, 1)
-    eval_val = make_eval(val_assets, n_ep)
-    eval_train = make_eval(train_assets, n_ep)
+    eval_val = make_eval(val_assets, n_ep,
+                         cfg.eval_val_callback.deterministic)
+    eval_train = make_eval(train_assets,
+                           max(cfg.eval_train_callback.eval_n_episodes, 1),
+                           cfg.eval_train_callback.deterministic)
+
+    # --- eval video recorder (reference VecVideoRecorder, rl_training.py:162)
+    video_dir = os.path.join(cfg.log_dir, run_name + "_videos")
+    record_video = None
+    if cfg.eval_val_callback.record:
+        reset_v, step_v = make_env_fns(env_cfg, val_assets, render=True)
+
+        def _video_rollout(key, agent_state):
+            state, obs = reset_v(key[None])
+            stack = init_stack(obs, fs)
+
+            def one(c, _):
+                state, stack = c
+                out = agent.select_action(agent_state, stack,
+                                          jax.random.PRNGKey(0),
+                                          deterministic=True)
+                a = out[0] if isinstance(out, tuple) else out
+                o = step_v(state, scale_action(a))
+                return (o.state, update_stack(stack, o.obs,
+                                              o.terminated | o.truncated)), o.obs
+            _, frames = jax.lax.scan(
+                one, (state, stack), None,
+                length=env_cfg.max_environment_steps)
+            return frames[:, 0]                      # (T, 3, res, res)
+
+        _video_jit = jax.jit(_video_rollout)
+
+        def record_video(step, key, agent_state):
+            os.makedirs(video_dir, exist_ok=True)
+            frames = np.asarray(_video_jit(key, agent_state))
+            save_video(list(frames),
+                       os.path.join(video_dir, f"eval_{step}.avi"))
 
     total = int(cfg.total_timesteps)
     eval_every = max(cfg.eval_val_callback.n_steps, steps_per_iter)
-    ckpt_every = cfg.wandb_callback.model_save_freq
+    model_save_every = max(cfg.wandb_callback.model_save_freq, steps_per_iter)
+    snapshot_every = max(total // 20, model_save_every)
+    video_every = eval_every * 10
+    log_every_iters = max(1, 1000 // steps_per_iter)
     ckpt_dir = cfg.checkpoint_dir or os.path.join("models", run_name)
 
     env_steps = int(np.asarray(carry.env_steps))
     next_eval = 0
-    next_ckpt = ckpt_every
+    next_model = model_save_every
+    next_snapshot = snapshot_every
+    next_video = 0
     t_start = time.time()
     k_eval = jax.random.PRNGKey(10_000)
+    iters = 0
+    metrics = None
 
     while env_steps < total:
         if max_wall_s is not None and time.time() - t_start > max_wall_s:
             print("wall-clock budget reached", flush=True)
             break
         carry, metrics = train_step(train_assets, carry)
-        env_steps = int(np.asarray(carry.env_steps))
-        logger.log(env_steps, metrics, prefix="train/")
+        env_steps += steps_per_iter          # host-side mirror of carry.env_steps
+        iters += 1
+        if iters % log_every_iters == 0:
+            m = dict(metrics)
+            m["env_steps_per_s"] = env_steps / (time.time() - t_start)
+            logger.log(env_steps, m, prefix="train/")
 
         if env_steps >= next_eval:
             next_eval = env_steps + eval_every
@@ -177,11 +271,20 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
                        prefix="eval/")
             logger.log(env_steps, eval_train(k2, carry.agent_state),
                        prefix="eval_train/")
-        if env_steps >= next_ckpt:
-            next_ckpt = env_steps + ckpt_every
-            save_checkpoint(ckpt_dir, env_steps, carry)
+        if record_video is not None and env_steps >= next_video:
+            next_video = env_steps + video_every
+            k_eval, kv = jax.random.split(k_eval)
+            record_video(env_steps, kv, carry.agent_state)
+        if env_steps >= next_model:
+            next_model = env_steps + model_save_every
+            save_model(ckpt_dir, 0, carry.agent_state)   # rolling "model_0"
+        if env_steps >= next_snapshot:
+            next_snapshot = env_steps + snapshot_every
+            save_model(ckpt_dir, env_steps, carry.agent_state)
+            save_checkpoint(ckpt_dir, "full_latest", carry)
 
-    save_checkpoint(ckpt_dir, env_steps, carry)
+    save_model(ckpt_dir, env_steps, carry.agent_state)
+    save_checkpoint(ckpt_dir, "full_latest", carry)
     return carry
 
 
