@@ -63,6 +63,26 @@ class TestReset:
         frac = on_road.mean()
         assert frac > 0.95, f"agents offroad after reset: {1 - frac:.2%}"
 
+    def test_traffic_mode_without_background_still_spawns(self, assets_val,
+                                                          key):
+        """Reference gym_env.py:236-238: iai_conditional_initialize runs
+        regardless of the background-traffic branch, so traffic mode with
+        use_background_traffic=False must still populate the scene via
+        local genesis."""
+        cfg = _cfg(use_background_traffic=False)
+        st = jax.jit(functools.partial(core.reset, cfg, assets_val))(key)
+        assert not cfg.ego_only
+        n = int(st.present.sum())
+        assert n > 10, "no-background traffic mode should spawn agents"
+
+    def test_reset_fixed_case(self, assets_val, key):
+        """core.reset(case=...) pins the scenario (golden harness path)."""
+        cfg = _cfg(ego_only=True)
+        for c in (0, 3):
+            st = jax.jit(functools.partial(core.reset, cfg, assets_val,
+                                           case=jnp.asarray(c)))(key)
+            assert int(st.case) == c
+
     def test_scenario_agents_present(self, assets_val):
         cfg = _cfg()
         reset = jax.jit(jax.vmap(functools.partial(core.reset, cfg, assets_val)))

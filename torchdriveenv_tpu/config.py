@@ -50,6 +50,11 @@ class TorchDriveConfig:
     # TPU-native knobs
     max_agents: int = 96       # padded agent capacity (reference caps <100, gym_env.py:216)
     dt: float = 0.1            # reference runs at 10 fps (gym_env.py:75)
+    # Kinematic-bicycle slip ratio lr/(lf+lr). 0.5 (lf == lr) is an assumed
+    # discretization of tds KinematicBicycle (see ops/bicycle.py docstring);
+    # adjustable so the pinned tds 6c7957c behavior can be matched exactly
+    # when verified.
+    bicycle_beta_factor: float = 0.5
 
 
 @dataclass

@@ -30,6 +30,7 @@ from torchdriveenv_tpu.config import EnvConfig
 from torchdriveenv_tpu.maps.arrays import (
     Assets,
     sample_dir_angle,
+    sample_sdf_grad,
     sample_sdf_nearest,
 )
 from torchdriveenv_tpu.npc.route_follow import npc_actions
@@ -50,6 +51,7 @@ SPAWN_JITTER = 11.0         # uniform jitter inside a cell (m)
 SPAWN_MIN_EGO_DIST = 20.0
 SPAWN_MIN_AGENT_DIST = 9.0
 SPAWN_SDF_MARGIN = 1.2      # candidate must be this deep inside the road (m)
+SPAWN_PROJECT_MAX = 14.0    # max per-iteration SDF-gradient projection (m)
 TOTAL_AGENT_TARGET = 95     # reference requests max(95 - n, density) agents (gym_env.py:237)
 BG_FAR_DIST = 100.0         # background agents nearer than this are replaced (gym_env.py:232)
 
@@ -112,13 +114,33 @@ def _spawn_candidates(key, maps, town, ego_xy, fixed_xy, fixed_present):
     jitter = jax.random.uniform(k_xy, (n, 2), minval=-SPAWN_JITTER, maxval=SPAWN_JITTER)
     pos = ego_xy[None, :] + _SPAWN_BASE + jitter
 
+    # project candidates onto the drivable area along the SDF gradient (the
+    # SDF is an exact distance outside the road, so two Newton steps land
+    # candidates within a pixel of the corridor). Off-road cells would
+    # otherwise be rejected wholesale and traffic density would depend on
+    # how much of the jitter grid happens to overlap pavement — the
+    # reference's IAI initialize reliably seeds ~95 agents (gym_env.py:237).
+    for _ in range(2):
+        sdf_p = sample_sdf_nearest(maps, town, pos)
+        gx, gy = sample_sdf_grad(maps, town, pos)
+        g = jnp.stack([gx, gy], axis=-1)
+        g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-3)
+        need = jnp.clip(SPAWN_SDF_MARGIN + 0.8 - sdf_p, 0.0, SPAWN_PROJECT_MAX)
+        pos = pos + need[:, None] * g
+
     sdf = sample_sdf_nearest(maps, town, pos)
     d_ego = jnp.linalg.norm(pos - ego_xy[None, :], axis=-1)
     d_fixed = jnp.linalg.norm(pos[:, None, :] - fixed_xy[None, :, :], axis=-1)
     d_fixed = jnp.where(fixed_present[None, :], d_fixed, jnp.inf)
+    # projection can clump neighboring cells onto the same lane: enforce
+    # candidate-candidate spacing against all earlier (closer-to-ego) cells
+    d_cand = jnp.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
+    earlier = jnp.tril(jnp.ones((n, n), bool), k=-1)
+    d_prev = jnp.min(jnp.where(earlier, d_cand, jnp.inf), axis=-1)
     valid = ((sdf > SPAWN_SDF_MARGIN)
              & (d_ego > SPAWN_MIN_EGO_DIST) & (d_ego < SPAWN_FOV)
-             & (jnp.min(d_fixed, axis=-1) > SPAWN_MIN_AGENT_DIST))
+             & (jnp.min(d_fixed, axis=-1) > SPAWN_MIN_AGENT_DIST)
+             & (d_prev > SPAWN_MIN_AGENT_DIST))
 
     psi = sample_dir_angle(maps, town, pos) + 0.05 * jax.random.normal(k_psi, (n,))
     speed = jax.random.uniform(k_speed, (n,), minval=2.0, maxval=8.0)
@@ -131,8 +153,12 @@ def _spawn_candidates(key, maps, town, ego_xy, fixed_xy, fixed_present):
     return states, attrs, speed, valid
 
 
-def reset(cfg: EnvConfig, assets: Assets, key: jnp.ndarray) -> EnvState:
+def reset(cfg: EnvConfig, assets: Assets, key: jnp.ndarray,
+          case: Optional[jnp.ndarray] = None) -> EnvState:
     """Start a new episode (reference WaypointSuiteEnv.reset, gym_env.py:319-349).
+
+    `case`: optional fixed scenario index (evaluation / golden-trajectory
+    harness); None samples uniformly like the reference.
 
     Sampling distributions match the reference:
       - case uniform over the suite               (gym_env.py:320)
@@ -150,7 +176,10 @@ def reset(cfg: EnvConfig, assets: Assets, key: jnp.ndarray) -> EnvState:
     (k_case, k_start, k_speed, k_head, k_attr, k_bgfile, k_spawn, k_phase,
      k_carry) = jax.random.split(key, 9)
 
-    case = jax.random.randint(k_case, (), 0, suite.case_town.shape[0])
+    if case is None:
+        case = jax.random.randint(k_case, (), 0, suite.case_town.shape[0])
+    else:
+        case = jnp.asarray(case, jnp.int32)
     town = suite.case_town[case]
     wps = suite.waypoints[case]
     frac = jax.random.uniform(k_start)
@@ -196,52 +225,60 @@ def reset(cfg: EnvConfig, assets: Assets, key: jnp.ndarray) -> EnvState:
         target_speed = target_speed.at[1:n_fixed].set(
             jnp.where(suite.scen_mask[case], suite.scen_states[case][:, 3], 0.0))
 
+        tail_cap = a_max - n_fixed
         if cfg.use_background_traffic:
-            tail_cap = a_max - n_fixed
             bg_states = bg.bg_states[town, bg_file][:tail_cap]
             bg_attrs_f = bg.bg_attrs[town, bg_file][:tail_cap]
             bg_present = bg.bg_mask[town, bg_file][:tail_cap]
             # keep only agents far from the ego (reference gym_env.py:230-235)
             d = jnp.linalg.norm(bg_states[:, :2] - start_xy[None, :], axis=-1)
             bg_present = bg_present & (d > BG_FAR_DIST)
-
-            # local genesis near the ego replaces iai.api.initialize
-            fixed_xy = jnp.concatenate([states[:n_fixed, :2], bg_states[:, :2]])
-            fixed_present = jnp.concatenate([present[:n_fixed], bg_present])
-            sp_states, sp_attrs, sp_speed, sp_valid = _spawn_candidates(
-                k_spawn, maps, town, start_xy, fixed_xy, fixed_present)
-            n_remain = (1 + suite.scen_mask[case].sum() + bg_present.sum())
             density = bg.bg_density[town, bg_file]
-            k_needed = jnp.maximum(TOTAL_AGENT_TARGET - n_remain, density)
-            sp_rank = jnp.cumsum(sp_valid) - 1
-            sp_present = sp_valid & (sp_rank < k_needed)
+        else:
+            # traffic mode without the cached files: the reference still
+            # IAI-initializes ~95 agents near the ego (gym_env.py:236-238
+            # runs regardless of the background branch) — local genesis
+            # fills the whole tail here too.
+            bg_states = jnp.zeros((tail_cap, 4))
+            bg_attrs_f = jnp.ones((tail_cap, 3))
+            bg_present = jnp.zeros((tail_cap,), bool)
+            density = jnp.zeros((), jnp.int32)
+        # local genesis near the ego replaces iai.api.initialize
+        fixed_xy = jnp.concatenate([states[:n_fixed, :2], bg_states[:, :2]])
+        fixed_present = jnp.concatenate([present[:n_fixed], bg_present])
+        sp_states, sp_attrs, sp_speed, sp_valid = _spawn_candidates(
+            k_spawn, maps, town, start_xy, fixed_xy, fixed_present)
+        n_remain = (1 + suite.scen_mask[case].sum() + bg_present.sum())
+        k_needed = jnp.maximum(TOTAL_AGENT_TARGET - n_remain, density)
+        sp_rank = jnp.cumsum(sp_valid) - 1
+        sp_present = sp_valid & (sp_rank < k_needed)
 
-            # pack: background agents keep their tail slot; spawned agents
-            # (closest-first) fill the gaps. Two cumsums + one small gather —
-            # replaces a (tail+spawn)-length argsort compaction.
-            n_sp = sp_present.shape[0]
-            gap = ~bg_present                             # (tail_cap,)
-            gap_rank = jnp.cumsum(gap) - 1
-            lut = jnp.full((tail_cap + 1,), n_sp, jnp.int32)
-            lut = lut.at[jnp.where(sp_present,
-                                   jnp.minimum(sp_rank, tail_cap),
-                                   tail_cap)].set(
-                jnp.arange(n_sp, dtype=jnp.int32), mode="drop")
-            j_fill = lut[jnp.clip(gap_rank, 0, tail_cap - 1)]
-            sp_rows = jnp.concatenate([
-                sp_states, sp_attrs, sp_speed[:, None],
-                jnp.ones((n_sp, 1))], axis=-1)            # (n_sp, 9)
-            sp_rows = jnp.concatenate([sp_rows, jnp.zeros((1, 9))])
-            fill = sp_rows[j_fill]                        # (tail_cap, 9)
-            use_fill = gap & (j_fill < n_sp)
-            states = states.at[n_fixed:].set(
-                jnp.where(bg_present[:, None], bg_states, fill[:, :4]))
-            attrs = attrs.at[n_fixed:].set(
-                jnp.where(bg_present[:, None], bg_attrs_f, fill[:, 4:7]))
-            present = present.at[n_fixed:].set(bg_present | use_fill)
-            target_speed = target_speed.at[n_fixed:].set(
-                jnp.where(bg_present, bg_states[:, 3],
-                          jnp.where(use_fill, fill[:, 7], 0.0)))
+        # pack: background agents keep their tail slot; spawned agents
+        # (closest-first) fill the gaps. Two cumsums + one small gather —
+        # replaces a (tail+spawn)-length argsort compaction.
+        n_sp = sp_present.shape[0]
+        gap = ~bg_present                             # (tail_cap,)
+        gap_rank = jnp.cumsum(gap) - 1
+        lut = jnp.full((tail_cap + 1,), n_sp, jnp.int32)
+        lut = lut.at[jnp.where(sp_present,
+                               jnp.minimum(sp_rank, tail_cap),
+                               tail_cap)].set(
+            jnp.arange(n_sp, dtype=jnp.int32), mode="drop")
+        j_fill = lut[jnp.clip(gap_rank, 0, tail_cap - 1)]
+        sp_rows = jnp.concatenate([
+            sp_states, sp_attrs, sp_speed[:, None],
+            jnp.ones((n_sp, 1))], axis=-1)            # (n_sp, 9)
+        sp_rows = jnp.concatenate([sp_rows, jnp.zeros((1, 9))])
+        fill = sp_rows[j_fill]                        # (tail_cap, 9)
+        use_fill = gap & (j_fill < n_sp)
+        states = states.at[n_fixed:].set(
+            jnp.where(bg_present[:, None], bg_states, fill[:, :4]))
+        attrs = attrs.at[n_fixed:].set(
+            jnp.where(bg_present[:, None], bg_attrs_f, fill[:, 4:7]))
+        present = present.at[n_fixed:].set(bg_present | use_fill)
+        target_speed = target_speed.at[n_fixed:].set(
+            jnp.where(bg_present, bg_states[:, 3],
+                      jnp.where(use_fill, fill[:, 7], 0.0)))
 
     period = maps.light_durations.sum()
     time0 = jax.random.uniform(k_phase) * period
@@ -301,7 +338,8 @@ def step(cfg: EnvConfig, assets: Assets, state: EnvState, action: jnp.ndarray,
 
     # --- kinematic bicycle integration for the whole population
     new_states = bicycle_step(state.agent_states, acts,
-                              lr=state.agent_attrs[:, 2], dt=dt)
+                              lr=state.agent_attrs[:, 2], dt=dt,
+                              beta_factor=cfg.simulator.bicycle_beta_factor)
     new_states = jnp.where(state.present[:, None], new_states, state.agent_states)
 
     # --- log-replay override (IAIWrapper replay semantics, gym_env.py:275-294)

@@ -38,6 +38,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_carry(carry: Any, mesh: Mesh, num_envs: int,
+                axis_name: str = "env") -> Any:
+    """Place a train-loop carry for data-parallel execution: every leaf whose
+    leading axis is the env batch is split over the mesh's env axis, all
+    other leaves (params, optimizer state, scalars, PRNG keys) replicated.
+    GSPMD propagates these input shardings through the fused rollout+learner
+    program and inserts the gradient all-reduce (`psum` over ICI)."""
+    s_env = env_sharding(mesh, axis_name)
+    s_rep = replicated(mesh)
+
+    def place(x):
+        batched = (hasattr(x, "ndim") and x.ndim >= 1
+                   and x.shape[0] == num_envs)
+        return jax.device_put(x, s_env if batched else s_rep)
+
+    return jax.tree.map(place, carry)
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-host entry (SURVEY.md §2.4): initialize the JAX distributed
+    runtime when a coordinator is configured via environment
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or any
+    cluster env jax auto-detects — SLURM, TPU pod metadata). Safe no-op on a
+    single host with none of these set. Returns True when initialized."""
+    import os
+
+    if jax.process_count() > 1:
+        return True                          # already initialized
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+        return True
+    if os.environ.get("SLURM_NTASKS", "1") not in ("", "1"):
+        jax.distributed.initialize()         # SLURM auto-detect
+        return True
+    return False
+
+
 def shard_batch(tree: Any, mesh: Mesh, axis_name: str = "env") -> Any:
     """Place a pytree of batched arrays with the leading axis sharded.
 

@@ -177,6 +177,19 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
         env_cfg.seed if env_cfg.seed is not None else 0))
     if resume_from:
         carry = restore_checkpoint(resume_from, carry)
+
+    # data-parallel placement over all local (or, under jax.distributed, all
+    # global) devices: env-batched leaves sharded, learner replicated; GSPMD
+    # inserts the gradient all-reduce. Single device -> trivial 1-mesh.
+    devices = jax.devices()
+    if len(devices) > 1 and num_envs % len(devices) == 0:
+        from torchdriveenv_tpu.parallel.mesh import make_mesh, shard_carry
+        mesh = make_mesh(devices)
+        carry = shard_carry(carry, mesh, num_envs)
+        from torchdriveenv_tpu.parallel.mesh import replicated
+        train_assets = jax.device_put(train_assets, replicated(mesh))
+        print(f"sharded over {len(devices)} devices "
+              f"({jax.process_count()} hosts)", flush=True)
     train_step = jax.jit(train_fn, donate_argnums=(1,))
 
     # --- evaluators (reference rl_training.py:185-203); `deterministic`
@@ -297,6 +310,9 @@ def main():
     ap.add_argument("--resume_from", type=str, default=None)
     ap.add_argument("--max_wall_s", type=float, default=None)
     args = ap.parse_args()
+
+    from torchdriveenv_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
 
     if args.config_file:
         cfg = load_rl_training_config(args.config_file)
