@@ -23,6 +23,103 @@ import jax.numpy as jnp
 
 BASELINE_STEPS_PER_SEC = 100_000.0
 
+# TPU v5e (lite) single-chip peaks for roofline utilization estimates:
+# 197 TFLOP/s bf16 / ~49 TFLOP/s f32-equivalent vector, 819 GB/s HBM.
+# (Public chip specs; the env workload is gather/VPU-bound, so the honest
+# headline is HBM-bandwidth utilization, not MXU MFU.)
+V5E_PEAK_F32_FLOPS = 4.9e13
+V5E_PEAK_HBM_BYTES = 8.19e11
+
+
+def _timed(fn, *a, iters=5):
+    import time as _t
+
+    jax.block_until_ready(fn(*a))
+    ts = []
+    for _ in range(iters):
+        t0 = _t.time()
+        jax.block_until_ready(fn(*a))
+        ts.append(_t.time() - t0)
+    return min(ts)
+
+
+def _cost(jitted, *a):
+    """XLA's own flop/byte estimate for a compiled callable (best-effort)."""
+    try:
+        an = jitted.lower(*a).compile().cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        return {"flops": float(an.get("flops", 0.0)),
+                "bytes": float(an.get("bytes accessed", 0.0))}
+    except Exception as e:  # pragma: no cover - backend-dependent
+        return {"error": str(e)}
+
+
+def _write_breakdown(args, cfg, assets, state, run, best_chunk_s):
+    """Phase-level timing + roofline (VERDICT.md round-1 item 8): where does
+    the per-chunk time go — rendering, physics, auto-reset — and how close
+    is each to the chip's speed of light."""
+    from torchdriveenv_tpu.env import core as _core
+    from torchdriveenv_tpu.env.batched import _autoreset, _obs_batched, make_env_fns
+    import functools
+
+    n = args.num_envs
+    actions = jnp.tile(jnp.array([[0.3, 0.0]]), (n, 1))
+
+    # physics only: vmapped core.step, no render, no auto-reset
+    def physics(state):
+        nxt, r, te, tr, _ = jax.vmap(
+            functools.partial(_core.step, cfg, assets))(state, actions)
+        return nxt, r, te, tr
+
+    physics_j = jax.jit(physics)
+    t_phys = _timed(physics_j, state)
+
+    # render only (the full batch)
+    render_j = jax.jit(functools.partial(_obs_batched, cfg, assets))
+    t_render = _timed(render_j, state)
+
+    # auto-reset only (pooled): force every env "done"
+    done = jnp.ones((n,), bool)
+    reset_j = jax.jit(lambda s: _autoreset(cfg, assets, s, done)[0])
+    t_reset_all = _timed(reset_j, state)
+
+    per_step_s = best_chunk_s / args.chunk
+    report = {
+        "num_envs": n,
+        "chunk_steps": args.chunk,
+        "fused_per_step_ms": per_step_s * 1e3,
+        "phases_ms_per_step": {
+            "physics": t_phys * 1e3,
+            "render": t_render * 1e3,
+            "autoreset_pool_all_done": t_reset_all * 1e3,
+        },
+        "costs": {
+            "physics": _cost(physics_j, state),
+            "render": _cost(render_j, state),
+        },
+        "device": str(jax.devices()[0]),
+    }
+    # roofline utilizations for the fused step (sum of phase costs is an
+    # upper bound on the fused program's work; XLA fuses across phases)
+    tot = {"flops": 0.0, "bytes": 0.0}
+    for c in report["costs"].values():
+        tot["flops"] += c.get("flops", 0.0)
+        tot["bytes"] += c.get("bytes", 0.0)
+    if tot["bytes"]:
+        report["roofline"] = {
+            "flops_per_step": tot["flops"],
+            "bytes_per_step": tot["bytes"],
+            "flops_utilization_vs_f32_peak":
+                tot["flops"] / per_step_s / V5E_PEAK_F32_FLOPS,
+            "hbm_bw_utilization":
+                tot["bytes"] / per_step_s / V5E_PEAK_HBM_BYTES,
+        }
+    with open(args.breakdown, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"breakdown -> {args.breakdown}: "
+          + json.dumps(report["phases_ms_per_step"]), file=sys.stderr)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -30,6 +127,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=64, help="steps per timed scan")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--no_render", action="store_true")
+    ap.add_argument("--breakdown", type=str, default=None, metavar="OUT_JSON",
+                    help="also time render/physics/reset phases separately, "
+                    "attach XLA cost analysis (flops, bytes) and roofline "
+                    "utilization estimates, and write them to OUT_JSON")
     args = ap.parse_args()
 
     from torchdriveenv_tpu.config import EnvConfig
@@ -70,6 +171,10 @@ def main():
     best = min(times)
     steps_per_sec = args.num_envs * args.chunk / best
     print(f"per-chunk times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+
+    if args.breakdown:
+        _write_breakdown(args, cfg, assets, state, run, best)
+
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 1),

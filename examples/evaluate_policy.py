@@ -5,8 +5,13 @@ checkpoint and roll deterministic episodes on the 5 validation scenarios,
 reporting the paper's 9-metric benchmark set
 (reference examples/rl_training.py:99-108).
 
+Accepts either a model-only save (`models/<run>/model_<N>`, the frequent
+artifact rl/train.py writes at model_save_freq — the analogue of the
+reference's wandb model.zip) or a full-carry checkpoint
+(`.../full_latest`, pass --full_checkpoint).
+
 Usage:
-    python examples/evaluate_policy.py --checkpoint models/<run>/step_<N> \
+    python examples/evaluate_policy.py --checkpoint models/<run>/model_<N> \
         [--algorithm sac] [--episodes 10]
 """
 
@@ -19,30 +24,37 @@ from torchdriveenv_tpu.config import BaselineAlgorithm, EnvConfig
 from torchdriveenv_tpu.env.batched import make_env_fns
 from torchdriveenv_tpu.maps.arrays import load_assets
 from torchdriveenv_tpu.models.policies import scale_action
-from torchdriveenv_tpu.parallel.train_step import make_offpolicy_train_fns
 from torchdriveenv_tpu.rl.evaluate import make_evaluator
 from torchdriveenv_tpu.rl.train import build_agent, restore_checkpoint
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--algorithm", default="sac")
-    ap.add_argument("--episodes", type=int, default=10)
-    ap.add_argument("--suite", default="val")
-    args = ap.parse_args()
+def load_agent_state(checkpoint: str, agent, env_cfg: EnvConfig,
+                     full_checkpoint: bool = False, assets=None):
+    """Restore policy params from a model-only save (default) or pull
+    `.agent_state` out of a full-carry checkpoint."""
+    if full_checkpoint:
+        from torchdriveenv_tpu.parallel.train_step import (
+            make_offpolicy_train_fns,
+        )
+        init_fn, _ = make_offpolicy_train_fns(
+            env_cfg, agent, num_envs=2, buffer_capacity=256,
+            steps_per_iter=1, updates_per_iter=1)
+        carry_like = jax.jit(init_fn)(assets, jax.random.PRNGKey(0))
+        return restore_checkpoint(checkpoint, carry_like).agent_state
+    state_like = agent.init(jax.random.PRNGKey(0),
+                            obs_res=env_cfg.simulator.renderer.obs_res)
+    return restore_checkpoint(checkpoint, state_like)
 
-    env_cfg = EnvConfig()
-    assets = load_assets(args.suite)
-    agent, _ = build_agent(BaselineAlgorithm(args.algorithm),
+
+def evaluate(checkpoint: str, algorithm: str = "sac", episodes: int = 10,
+             suite: str = "val", env_cfg: EnvConfig = None,
+             full_checkpoint: bool = False):
+    env_cfg = env_cfg or EnvConfig()
+    assets = load_assets(suite)
+    agent, _ = build_agent(BaselineAlgorithm(algorithm),
                            obs_channels=3 * env_cfg.frame_stack)
-
-    # restore the full train state (carry) saved by rl/train.py
-    init_fn, _ = make_offpolicy_train_fns(env_cfg, agent, num_envs=2,
-                                          buffer_capacity=256,
-                                          steps_per_iter=1, updates_per_iter=1)
-    carry_like = jax.jit(init_fn)(assets, jax.random.PRNGKey(0))
-    carry = restore_checkpoint(args.checkpoint, carry_like)
+    agent_state = load_agent_state(checkpoint, agent, env_cfg,
+                                   full_checkpoint, assets)
 
     reset_fn, step_fn = make_env_fns(env_cfg, assets, render=True)
 
@@ -53,10 +65,24 @@ def main():
 
     ev = make_evaluator(reset_fn, step_fn, policy, env_cfg.frame_stack,
                         scale_action, max_steps=env_cfg.max_environment_steps)
-    keys = jax.random.split(jax.random.PRNGKey(123), args.episodes)
-    metrics = jax.jit(lambda k, a: ev(k, a))(keys, carry.agent_state)
+    keys = jax.random.split(jax.random.PRNGKey(123), episodes)
+    metrics = jax.jit(ev)(keys, agent_state)
+    return {k: float(jnp.asarray(v)) for k, v in metrics.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--algorithm", default="sac")
+    ap.add_argument("--episodes", type=int, default=10)
+    ap.add_argument("--suite", default="val")
+    ap.add_argument("--full_checkpoint", action="store_true")
+    args = ap.parse_args()
+
+    metrics = evaluate(args.checkpoint, args.algorithm, args.episodes,
+                       args.suite, full_checkpoint=args.full_checkpoint)
     for k, v in sorted(metrics.items()):
-        print(f"eval/{k}: {float(jnp.asarray(v)):.4f}")
+        print(f"eval/{k}: {v:.4f}")
 
 
 if __name__ == "__main__":
