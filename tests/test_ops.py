@@ -88,6 +88,41 @@ class TestCollision:
         sizes = jnp.array([[4.0, 2.0], [4.0, 2.0]])
         assert ego_collision(states, sizes, jnp.array([True, False])) == 0.0
 
+    def test_discs_metric(self):
+        """CollisionMetric.discs (reference gym_env.py:48 enum): disc
+        decomposition agrees with SAT on clear hits/misses and only differs
+        near box corners (conservative radius)."""
+        from torchdriveenv_tpu.ops.collision import ego_collision_discs
+
+        sizes = jnp.array([[4.0, 2.0], [4.0, 2.0]])
+        present = jnp.array([True, True])
+        # head-on overlap: both metrics fire
+        hit = jnp.array([[0.0, 0.0, 0.0, 0.0], [3.0, 0.0, 0.0, 0.0]])
+        assert float(ego_collision_discs(hit, sizes, present)) > 0.0
+        assert float(ego_collision(hit, sizes, present)) > 0.0
+        # far apart: both zero
+        miss = jnp.array([[0.0, 0.0, 0.0, 0.0], [20.0, 0.0, 0.0, 0.0]])
+        assert float(ego_collision_discs(miss, sizes, present)) == 0.0
+        # side-by-side touching widths: discs fire like SAT
+        side = jnp.array([[0.0, 0.0, 0.0, 0.0], [0.0, 1.9, 0.0, 0.0]])
+        assert float(ego_collision_discs(side, sizes, present)) > 0.0
+        # env integration: the discs config path steps
+        from torchdriveenv_tpu.config import (CollisionMetric, EnvConfig,
+                                              TorchDriveConfig)
+        from torchdriveenv_tpu.env import core
+        from torchdriveenv_tpu.maps.arrays import load_assets
+        import functools
+        import jax
+
+        cfg = EnvConfig(ego_only=True, simulator=TorchDriveConfig(
+            collision_metric=CollisionMetric.discs))
+        assets = load_assets("val")
+        st = jax.jit(functools.partial(core.reset, cfg, assets))(
+            jax.random.PRNGKey(0))
+        _, _, term, _, info = jax.jit(functools.partial(
+            core.step, cfg, assets))(st, jnp.array([0.3, 0.0]))
+        assert float(info["collision"]) == 0.0
+
     def test_pairwise_symmetry(self):
         states = jnp.array([[0.0, 0.0, 0.3, 0.0],
                             [2.0, 1.0, -0.4, 0.0],

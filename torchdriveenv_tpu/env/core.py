@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from torchdriveenv_tpu.config import EnvConfig
+from torchdriveenv_tpu.config import CollisionMetric, EnvConfig
 from torchdriveenv_tpu.maps.arrays import (
     Assets,
     sample_dir_angle,
@@ -35,7 +35,7 @@ from torchdriveenv_tpu.maps.arrays import (
 )
 from torchdriveenv_tpu.npc.route_follow import npc_actions
 from torchdriveenv_tpu.ops.bicycle import bicycle_step
-from torchdriveenv_tpu.ops.collision import ego_collision
+from torchdriveenv_tpu.ops.collision import ego_collision, ego_collision_discs
 from torchdriveenv_tpu.ops.offroad import compute_offroad
 from torchdriveenv_tpu.ops.traffic_lights import traffic_light_violation
 from torchdriveenv_tpu.ops.waypoints import waypoint_reached
@@ -359,7 +359,10 @@ def step(cfg: EnvConfig, assets: Assets, state: EnvState, action: jnp.ndarray,
     # --- infractions (exposed-agent = ego, reference gym_env.py:413-417)
     sizes = state.agent_attrs[:, :2]
     offroad = compute_offroad(maps, state.town, ego, sizes[0])
-    collision = ego_collision(new_states, sizes, state.present)
+    if cfg.simulator.collision_metric == CollisionMetric.discs:
+        collision = ego_collision_discs(new_states, sizes, state.present)
+    else:
+        collision = ego_collision(new_states, sizes, state.present)
     violation = traffic_light_violation(maps, state.town, t_new, ego, sizes[0])
 
     # --- waypoint logic + reward (reference gym_env.py:378-411)

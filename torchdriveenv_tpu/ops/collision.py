@@ -99,3 +99,43 @@ def ego_collision(states: jnp.ndarray, sizes: jnp.ndarray,
     pen = _sat_penetration(ego_state[None, :], ego_size[None, :], states, sizes)
     mask = present & (jnp.arange(states.shape[0]) != ego_index) & present[ego_index]
     return jnp.max(jnp.where(mask, pen, 0.0))
+
+
+# -- disc approximation (torchdrivesim CollisionMetric.discs) ----------------
+
+N_DISCS = 5
+
+
+def _disc_centers(states: jnp.ndarray, sizes: jnp.ndarray) -> jnp.ndarray:
+    """Disc-decomposed body: N_DISCS circles of radius width/2 with centers
+    spaced along the body axis so the union covers the box length
+    (torchdrivesim's discs metric approximates each agent this way).
+    states (..., 4), sizes (..., 2) -> centers (..., N_DISCS, 2)."""
+    x, y, psi = states[..., 0], states[..., 1], states[..., 2]
+    hl, hw = sizes[..., 0] / 2.0, sizes[..., 1] / 2.0
+    span = jnp.maximum(hl - hw, 0.0)                 # centers stay inside
+    t = jnp.linspace(-1.0, 1.0, N_DISCS)
+    off = span[..., None] * t                        # (..., N)
+    cx = x[..., None] + off * jnp.cos(psi)[..., None]
+    cy = y[..., None] + off * jnp.sin(psi)[..., None]
+    return jnp.stack([cx, cy], axis=-1)
+
+
+def ego_collision_discs(states: jnp.ndarray, sizes: jnp.ndarray,
+                        present: jnp.ndarray, ego_index: int = 0
+                        ) -> jnp.ndarray:
+    """Disc-approximation penetration of the ego against all present agents
+    (torchdrivesim `CollisionMetric.discs`; selected via
+    TorchDriveConfig.collision_metric, reference gym_env.py:48). Cheaper and
+    smoother than SAT but conservative at box corners; only `> 0` matters
+    for the env's termination semantics."""
+    ego_c = _disc_centers(states[ego_index], sizes[ego_index])   # (N, 2)
+    ego_r = sizes[ego_index, 1] / 2.0
+    all_c = _disc_centers(states, sizes)                          # (A, N, 2)
+    all_r = sizes[:, 1] / 2.0                                     # (A,)
+    d = jnp.linalg.norm(ego_c[None, :, None, :] - all_c[:, None, :, :],
+                        axis=-1)                                  # (A, N, N)
+    pen = jnp.maximum(ego_r + all_r[:, None, None] - d, 0.0)
+    mask = present & (jnp.arange(states.shape[0]) != ego_index) \
+        & present[ego_index]
+    return jnp.max(jnp.where(mask[:, None, None], pen, 0.0))
