@@ -65,10 +65,11 @@ class TestReset:
 
     def test_traffic_mode_without_background_still_spawns(self, assets_val,
                                                           key):
-        """Reference gym_env.py:236-238: iai_conditional_initialize runs
-        regardless of the background-traffic branch, so traffic mode with
-        use_background_traffic=False must still populate the scene via
-        local genesis."""
+        """Intentional extension: in the reference, iai_conditional_initialize
+        sits inside the `if cfg.use_background_traffic:` branch
+        (gym_env.py:200-238), so traffic mode without background traffic
+        would crash on an unbound agent_states there. Here local genesis
+        still populates the scene for that config."""
         cfg = _cfg(use_background_traffic=False)
         st = jax.jit(functools.partial(core.reset, cfg, assets_val))(key)
         assert not cfg.ego_only

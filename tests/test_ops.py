@@ -181,22 +181,40 @@ class TestTrafficLights:
         assert int(s_yellow[0]) == LightState.YELLOW
         assert int(s_red[0]) == LightState.RED
 
-    def test_violation_requires_red_and_overlap(self, assets_train):
+    def test_violation_requires_red_and_crossing(self, assets_train):
+        """Crossing-based semantics: the front bumper passing the stopline on
+        red is a violation; sitting on/behind the line, or the same crossing
+        on green, is not."""
         maps = assets_train.maps
         town = jnp.int32(0)
         g, y, r = np.asarray(maps.light_durations)
         phase0 = float(maps.light_phase[town][0])
         mid = np.asarray((maps.stop_p0[town][0] + maps.stop_p1[town][0]) / 2)
         heading = float(maps.stop_dir[town][0])
-        state = jnp.array([mid[0], mid[1], heading, 5.0])
         size = jnp.array([4.5, 2.0])
+        fwd = np.array([np.cos(heading), np.sin(heading)])
+        # one 0.1 s step at 5 m/s straddling the line: front goes -0.75 -> -0.25
+        # relative to the line... place so the front crosses: center starts
+        # 3 m before the line, ends 2.5 m before -> front (at +2.25) crosses 0
+        before = np.concatenate([mid - 3.0 * fwd, [heading, 5.0]])
+        after = np.concatenate([mid - 2.0 * fwd, [heading, 5.0]])
+        prev_s = jnp.asarray(before, jnp.float32)
+        new_s = jnp.asarray(after, jnp.float32)
         t_red = jnp.float32(g + y - phase0 + 0.5)
         t_green = jnp.float32(-phase0 + 0.5)
-        assert float(traffic_light_violation(maps, town, t_red, state, size)) == 1.0
-        assert float(traffic_light_violation(maps, town, t_green, state, size)) == 0.0
+        assert float(traffic_light_violation(
+            maps, town, t_red, prev_s, new_s, size)) == 1.0
+        assert float(traffic_light_violation(
+            maps, town, t_green, prev_s, new_s, size)) == 0.0
+        # stationary ON the line on red: no crossing event, no violation
+        on_line = jnp.asarray(np.concatenate([mid, [heading, 0.0]]), jnp.float32)
+        assert float(traffic_light_violation(
+            maps, town, t_red, on_line, on_line, size)) == 0.0
         # far away: no violation even on red
-        far = state.at[0].add(500.0)
-        assert float(traffic_light_violation(maps, town, t_red, far, size)) == 0.0
+        far_p = prev_s.at[0].add(500.0)
+        far_n = new_s.at[0].add(500.0)
+        assert float(traffic_light_violation(
+            maps, town, t_red, far_p, far_n, size)) == 0.0
 
 
 class TestWaypoints:

@@ -133,14 +133,17 @@ def _spawn_candidates(key, maps, town, ego_xy, fixed_xy, fixed_present):
     d_fixed = jnp.linalg.norm(pos[:, None, :] - fixed_xy[None, :, :], axis=-1)
     d_fixed = jnp.where(fixed_present[None, :], d_fixed, jnp.inf)
     # projection can clump neighboring cells onto the same lane: enforce
-    # candidate-candidate spacing against all earlier (closer-to-ego) cells
+    # candidate-candidate spacing against earlier (closer-to-ego) cells.
+    # Only candidates that can themselves spawn suppress later ones — an
+    # off-road or near-ego cell never materializes, so counting it would
+    # drop valid spawns and undershoot the ~95-agent density target.
+    base_valid = ((sdf > SPAWN_SDF_MARGIN)
+                  & (d_ego > SPAWN_MIN_EGO_DIST) & (d_ego < SPAWN_FOV)
+                  & (jnp.min(d_fixed, axis=-1) > SPAWN_MIN_AGENT_DIST))
     d_cand = jnp.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
-    earlier = jnp.tril(jnp.ones((n, n), bool), k=-1)
+    earlier = jnp.tril(jnp.ones((n, n), bool), k=-1) & base_valid[None, :]
     d_prev = jnp.min(jnp.where(earlier, d_cand, jnp.inf), axis=-1)
-    valid = ((sdf > SPAWN_SDF_MARGIN)
-             & (d_ego > SPAWN_MIN_EGO_DIST) & (d_ego < SPAWN_FOV)
-             & (jnp.min(d_fixed, axis=-1) > SPAWN_MIN_AGENT_DIST)
-             & (d_prev > SPAWN_MIN_AGENT_DIST))
+    valid = base_valid & (d_prev > SPAWN_MIN_AGENT_DIST)
 
     psi = sample_dir_angle(maps, town, pos) + 0.05 * jax.random.normal(k_psi, (n,))
     speed = jax.random.uniform(k_speed, (n,), minval=2.0, maxval=8.0)
@@ -235,10 +238,12 @@ def reset(cfg: EnvConfig, assets: Assets, key: jnp.ndarray,
             bg_present = bg_present & (d > BG_FAR_DIST)
             density = bg.bg_density[town, bg_file]
         else:
-            # traffic mode without the cached files: the reference still
-            # IAI-initializes ~95 agents near the ego (gym_env.py:236-238
-            # runs regardless of the background branch) — local genesis
-            # fills the whole tail here too.
+            # traffic mode without the cached files: intentional extension.
+            # In the reference, iai_conditional_initialize sits INSIDE the
+            # `if cfg.use_background_traffic:` branch (gym_env.py:200-238),
+            # so use_background_traffic=False with ego_only=False would hit
+            # an unbound agent_states and crash — a config it cannot
+            # execute. Here local genesis fills the whole tail instead.
             bg_states = jnp.zeros((tail_cap, 4))
             bg_attrs_f = jnp.ones((tail_cap, 3))
             bg_present = jnp.zeros((tail_cap,), bool)
@@ -363,7 +368,8 @@ def step(cfg: EnvConfig, assets: Assets, state: EnvState, action: jnp.ndarray,
         collision = ego_collision_discs(new_states, sizes, state.present)
     else:
         collision = ego_collision(new_states, sizes, state.present)
-    violation = traffic_light_violation(maps, state.town, t_new, ego, sizes[0])
+    violation = traffic_light_violation(maps, state.town, t_new, last_ego, ego,
+                                        sizes[0])
 
     # --- waypoint logic + reward (reference gym_env.py:378-411)
     reached = waypoint_reached(ego[:2], suite.waypoints[state.case],

@@ -29,8 +29,16 @@ TOWNS = ["Town01", "Town02", "Town03", "Town07", "Town10HD"]
 GRID = 1024            # pixels per side
 SCALE = 0.5            # meters per pixel
 MARGIN = 24.0          # meters of padding around content bounds
-WAYPOINT_HALFWIDTH = 3.5   # corridor half width around waypoint polylines (m)
-STUB_HALFWIDTH = 3.0       # half width around background-agent heading stubs (m)
+# Corridor half widths. Waypoint polylines trace the ego's LANE CENTER, but
+# the reference's drivable surface is the whole road mesh (both directions +
+# shoulder): torchdrivesim's compute_offroad only fires when the agent leaves
+# the paved surface entirely. The validation suite *requires* leaving the lane
+# (ParkedCar/Chicken are dodge maneuvers), so the corridor must cover the full
+# road: lane half (1.75) + opposing lane (3.5) + shoulder ~= 6 m.
+# (r2 used 3.5 m, which made those cases unwinnable — every dodge was offroad;
+# see artifacts/diag_val_probes.json and DESIGN.md "validation diagnosis".)
+WAYPOINT_HALFWIDTH = 6.0   # corridor half width around waypoint polylines (m)
+STUB_HALFWIDTH = 4.5       # half width around background-agent heading stubs (m)
 STUB_LENGTH = 7.0          # background agent stub extent along heading (m)
 MAX_AGENTS = 96        # padded agent capacity (reference keeps scenes <100 agents, gym_env.py:216)
 MAX_WAYPOINTS = 20     # training cases have 5..20 waypoints
@@ -41,7 +49,7 @@ MAX_LIGHTS = 16        # synthesized traffic lights per town
 MAX_SEGMENTS = 1536    # padded corridor segments per town (max observed 1031)
 SEG_CELL = 32.0        # coarse segment-index cell size (m)
 SEG_GRID = int(GRID * SCALE / SEG_CELL)   # 16x16 cells over the town extent
-SEG_K = 288            # max segments per coarse cell (max observed 277)
+SEG_K = 320            # max segments per coarse cell (max observed 292 at 6 m halfwidth)
 SEG_REACH = 80.0       # cell half-diag + obs window half-diag + halfwidth (m)
 SEG_F = 8              # fields per segment row: p0x p0y p1x p1y shw2 pad pad pad
 LIGHT_GREEN, LIGHT_YELLOW, LIGHT_RED = 10.0, 3.0, 7.0   # cycle durations (s)
@@ -422,6 +430,26 @@ def synthesize_lights(suites, town):
         else:
             clusters.append({"p": p, "angles": {round(ang_a / (math.pi / 2)) % 4,
                                                 round(ang_b / (math.pi / 2)) % 4}, "raw": (ang_a, ang_b)})
+    # spawn-safe zone: the ego spawns uniformly on each case's wp0->wp1
+    # segment (reference gym_env.py:357) with speed up to 10 m/s — a stopline
+    # placed on/near a spawn segment forces unavoidable violations at episode
+    # start (the CARLA maps never signalize the curated spawn straights).
+    spawn_segs = []
+    for suite in suites.values():
+        for loc, wps in zip(suite["locations"], suite["waypoint_suite"]):
+            if loc == town and len(wps) >= 2:
+                spawn_segs.append((np.asarray(wps[0], np.float64),
+                                   np.asarray(wps[1], np.float64)))
+
+    def near_spawn(p, margin=18.0):
+        for a0, a1 in spawn_segs:
+            seg = a1 - a0
+            len2 = float(seg @ seg)
+            t = np.clip(((p - a0) @ seg) / max(len2, 1e-9), 0.0, 1.0)
+            if np.hypot(*(p - (a0 + t * seg))) < margin:
+                return True
+        return False
+
     p0s, p1s, dirs, phases = [], [], [], []
     for ck, c in enumerate(clusters):
         if len(p0s) >= MAX_LIGHTS:
@@ -433,6 +461,8 @@ def synthesize_lights(suites, town):
             d = np.array([math.cos(appr), math.sin(appr)])
             n = np.array([-d[1], d[0]])
             center = c["p"] - STOPLINE_SETBACK * d
+            if near_spawn(center):
+                continue
             p0s.append(center - STOPLINE_HALFWIDTH * n)
             p1s.append(center + STOPLINE_HALFWIDTH * n)
             dirs.append(appr)

@@ -58,9 +58,13 @@ def _features(maps: MapArrays, town, t, states, attrs, present, target_speed):
     fwd = jnp.stack([jnp.cos(psi), jnp.sin(psi)], axis=-1)
     left = jnp.stack([-jnp.sin(psi), jnp.cos(psi)], axis=-1)
     lookahead = jnp.maximum(3.0, v * 0.6)
-    probe = pos + fwd * lookahead[:, None]
+    # left-offset probe = right-lane keeping, matching the IDM teacher
+    probe = pos + fwd * lookahead[:, None] + left * rf.LANE_OFFSET
     dir_tgt, gx, gy = sample_npc_field(maps, town, probe)
+    # line-field alignment, matching the IDM teacher (route_follow.py)
     herr = rf._wrap(dir_tgt - psi)
+    herr = jnp.where(jnp.abs(herr) > jnp.pi / 2,
+                     rf._wrap(herr + jnp.pi), herr)
     edge = gx * left[:, 0] + gy * left[:, 1]
 
     leader_gap, leader_v = rf.leader_gaps(states, attrs, present)
@@ -139,6 +143,8 @@ def npc_policy_actions(params, maps: MapArrays, town, t, states, attrs,
     act = jnp.where(parked[:, None],
                     jnp.stack([jnp.clip(-4.0 * v, *rf.ACCEL_BOUNDS),
                                jnp.zeros_like(v)], axis=-1), act)
+    # never reverse (matches the IDM teacher, route_follow.py)
+    act = act.at[:, 0].set(jnp.maximum(act[:, 0], -v / 0.1))
     return act, h
 
 

@@ -29,6 +29,9 @@ ACCEL_BOUNDS = (-4.0, 2.0)
 STEER_BOUND = 0.35
 LEADER_RANGE = 60.0   # leader search distance (m)
 LEADER_LAT = 2.5      # half-width of the leader search corridor (m)
+EMERG_RANGE = 16.0    # any-direction obstacle braking distance (m)
+EMERG_LAT = 3.0       # half-width of the emergency corridor (m)
+LANE_OFFSET = 1.75    # right-lane offset from the corridor centerline (m)
 LIGHT_RANGE = 30.0    # red-light braking distance (m)
 LIGHT_LAT = 4.0
 
@@ -49,16 +52,26 @@ def leader_gaps(states, attrs, present):
     lon = jnp.einsum("ijd,id->ij", rel, fwd)
     lat = jnp.einsum("ijd,id->ij", rel, left)
     same_dir = jnp.cos(psi[None, :] - psi[:, None]) > -0.2
-    is_leader = (present[None, :] & present[:, None]
-                 & (lon > 0.0) & (lon < LEADER_RANGE)
+    pair = present[None, :] & present[:, None] & (lon > 0.0)
+    # cruising leader: same-direction traffic ahead in my lane corridor
+    is_leader = (pair & (lon < LEADER_RANGE)
                  & (jnp.abs(lat) < LEADER_LAT) & same_dir)
+    # emergency obstacle: ANYTHING directly ahead at short range, regardless
+    # of its heading — crossing/oncoming traffic at intersections. IAI's
+    # behavioral model avoids such collisions; a pure same-direction IDM
+    # would plough into crossing streams (and into the ego).
+    is_emerg = pair & (lon < EMERG_RANGE) & (jnp.abs(lat) < EMERG_LAT)
     a = states.shape[0]
-    is_leader = is_leader & ~jnp.eye(a, dtype=bool)
+    noself = ~jnp.eye(a, dtype=bool)
+    is_obst = (is_leader | is_emerg) & noself
     gap_ij = lon - (length[:, None] + length[None, :]) / 2.0
-    gap_ij = jnp.where(is_leader, gap_ij, jnp.inf)
+    gap_ij = jnp.where(is_obst, gap_ij, jnp.inf)
     j_star = jnp.argmin(gap_ij, axis=1)
     gap = jnp.min(gap_ij, axis=1)
-    leader_v = jnp.where(jnp.isfinite(gap), v[j_star], 0.0)
+    # obstacle speed projected onto MY heading: an oncoming car closes the
+    # gap at v_i + v_j, which the projection makes IDM treat correctly
+    v_proj = v[j_star] * jnp.cos(psi[j_star] - psi)
+    leader_v = jnp.where(jnp.isfinite(gap), v_proj, 0.0)
     return gap, leader_v
 
 
@@ -97,14 +110,29 @@ def npc_actions(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
     fwd = jnp.stack([jnp.cos(psi), jnp.sin(psi)], axis=-1)
     left = jnp.stack([-jnp.sin(psi), jnp.cos(psi)], axis=-1)
 
-    # ---- lateral control: track the direction field + stay off road edges
+    # ---- lateral control: track the direction field + stay off road edges.
+    # The probe is offset to the agent's LEFT by LANE_OFFSET: the edge-keeping
+    # term centers the PROBE in the corridor, which places the BODY one
+    # half-lane to the right of the centerline — right-hand traffic, so two
+    # opposing streams pass instead of playing head-on chicken on the
+    # centerline (CARLA towns drive on the right; cf. validation case 2's
+    # northbound agent placed +0.8 m east of the route polyline).
     lookahead = jnp.maximum(3.0, v * 0.6)
-    probe = pos + fwd * lookahead[:, None]
+    probe = (pos + fwd * lookahead[:, None] + left * LANE_OFFSET)
     # ONE gather per agent: lane direction + SDF gradient at the lookahead
     # point (packed field). Edge keeping previews the road-centering error at
     # the probe: 0.24*(grad.left) ~ the 0.08*(sdf_l - sdf_r) finite diff.
     dir_tgt, gx, gy = sample_npc_field(maps, town, probe)
+    # LINE-field alignment: the compiled direction field is single-valued per
+    # pixel (the nearest corridor segment's direction), but real roads carry
+    # two-way traffic. An agent heading the opposite way must follow the
+    # REVERSED field — treating the field as a vector field would steer every
+    # oncoming car into a U-turn across the ego's lane. (The reference's IAI
+    # agents keep their own lane direction; validation cases 0 and 2 place
+    # oncoming traffic explicitly, reference validation_cases.yml scenarios.)
     heading_err = _wrap(dir_tgt - psi)
+    heading_err = jnp.where(jnp.abs(heading_err) > jnp.pi / 2,
+                            _wrap(heading_err + jnp.pi), heading_err)
     edge_err = jnp.clip(0.24 * (gx * left[:, 0] + gy * left[:, 1]), -0.2, 0.2)
     steer = jnp.clip(1.5 * heading_err + edge_err, -STEER_BOUND, STEER_BOUND)
 
@@ -130,4 +158,8 @@ def npc_actions(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
     parked = target_speed < 0.1
     accel = jnp.where(parked, jnp.clip(-4.0 * v, *ACCEL_BOUNDS), accel)
     steer = jnp.where(parked, 0.0, steer)
+    # never reverse: braking at most cancels the current speed within one
+    # 0.1 s step (an emergency-braking IDM would otherwise oscillate through
+    # v=0 and back slowly INTO following traffic)
+    accel = jnp.maximum(accel, -v / 0.1)
     return jnp.stack([accel, steer], axis=-1)

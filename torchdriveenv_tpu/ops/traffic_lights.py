@@ -34,52 +34,40 @@ def light_states_at(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray) -> jnp.n
                      ).astype(jnp.int32)
 
 
-def _segment_obb_overlap(p0, p1, state, size):
-    """SAT overlap between segment p0-p1 (L,2 each) and one OBB (4,)/(2,).
-
-    A segment is a degenerate rectangle; candidate axes are the box's two axes
-    and the segment normal. Returns (L,) bool.
-    """
-    c = jnp.stack([state[0], state[1]])
-    psi = state[2]
-    hl, hw = size[0] / 2.0, size[1] / 2.0
-    ax = jnp.stack([jnp.cos(psi), jnp.sin(psi)])
-    ay = jnp.stack([-jnp.sin(psi), jnp.cos(psi)])
-
-    mid = (p0 + p1) / 2.0            # (L, 2)
-    half = (p1 - p0) / 2.0           # (L, 2)
-    seg_len = jnp.linalg.norm(half, axis=-1) + 1e-9
-    n = jnp.stack([-half[:, 1], half[:, 0]], axis=-1) / seg_len[:, None]
-
-    d = mid - c[None, :]             # (L, 2)
-
-    def sep(axis, box_r, seg_r):
-        # axis (L,2); separated if |d.axis| > box_r + seg_r
-        return jnp.abs(jnp.sum(d * axis, axis=-1)) > box_r + seg_r
-
-    seg_r_on = lambda axis: jnp.abs(jnp.sum(half * axis, axis=-1))
-    box_r_on = lambda axis: (hl * jnp.abs(axis @ ax) + hw * jnp.abs(axis @ ay))
-
-    ax_b = jnp.broadcast_to(ax, d.shape)
-    ay_b = jnp.broadcast_to(ay, d.shape)
-    separated = (
-        sep(ax_b, hl, seg_r_on(ax_b))
-        | sep(ay_b, hw, seg_r_on(ay_b))
-        | sep(n, box_r_on(n), 0.0)
-    )
-    return ~separated
-
-
 def traffic_light_violation(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
-                            state: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
-    """Violation metric for one agent: 1.0 if its box overlaps any red-light
-    stopline it is approaching (heading within 90 deg of the approach
-    direction), else 0.0. Compared `> 0` by the env (gym_env.py:415)."""
+                            prev_state: jnp.ndarray, state: jnp.ndarray,
+                            size: jnp.ndarray) -> jnp.ndarray:
+    """Violation metric for one agent: 1.0 when its front bumper CROSSES a
+    red stopline this step (from behind the line to on/past it) while heading
+    within 90 deg of the approach direction. Compared `> 0` by the env
+    (reference gym_env.py:415).
+
+    Crossing-based (event) rather than overlap-based (level) detection: an
+    agent that happens to start an episode on top of a stopline, or that is
+    already past the line when the light turns red, has not run the light —
+    only the act of entering on red is an infraction. This matches the
+    reference's semantics where a violation can terminate the episode at the
+    moment of the offence (a level test would also re-fire every step while
+    straddling the line)."""
     states_l = light_states_at(maps, town, t)                       # (L,)
     red = states_l == LightState.RED
-    overlap = _segment_obb_overlap(maps.stop_p0[town], maps.stop_p1[town],
-                                   state, size)                     # (L,)
+
+    d = jnp.stack([jnp.cos(maps.stop_dir[town]),
+                   jnp.sin(maps.stop_dir[town])], axis=-1)          # (L, 2)
+    n = jnp.stack([-d[:, 1], d[:, 0]], axis=-1)                     # (L, 2)
+    mid = (maps.stop_p0[town] + maps.stop_p1[town]) / 2.0           # (L, 2)
+    half_len = jnp.linalg.norm(maps.stop_p1[town] - maps.stop_p0[town],
+                               axis=-1) / 2.0                       # (L,)
+
+    def front(s):
+        fwd = jnp.stack([jnp.cos(s[2]), jnp.sin(s[2])])
+        return s[:2] + (size[0] / 2.0) * fwd
+
+    p_prev, p_new = front(prev_state), front(state)
+    s_prev = jnp.sum((p_prev[None, :] - mid) * d, axis=-1)          # (L,)
+    s_new = jnp.sum((p_new[None, :] - mid) * d, axis=-1)
+    lat = jnp.abs(jnp.sum((p_new[None, :] - mid) * n, axis=-1))
+    crossed = (s_prev < 0.0) & (s_new >= 0.0) & (lat < half_len + size[1] / 2.0)
     aligned = jnp.cos(state[2] - maps.stop_dir[town]) > 0.0
-    moving = state[3] > 0.1
-    hit = maps.light_mask[town] & red & overlap & aligned & moving
+    hit = maps.light_mask[town] & red & crossed & aligned
     return jnp.any(hit).astype(jnp.float32)
