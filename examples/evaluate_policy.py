@@ -16,6 +16,12 @@ Usage:
 """
 
 import argparse
+import os
+import sys
+
+# standalone execution without pip-install: repo root on sys.path
+# (same bootstrap as tools/golden_trajectories.py:28-29)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

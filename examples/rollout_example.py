@@ -9,6 +9,11 @@ Usage:
 """
 
 import argparse
+import os
+import sys
+
+# standalone execution without pip-install: repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -71,6 +71,58 @@ def test_sharded_matches_replicated(assets_val, ego_only):
         assert pix_diff < 1e-3, f"step {t}: {pix_diff:.2%} obs pixels differ"
 
 
+@pytest.mark.slow
+def test_two_process_distributed_matches_single(assets_val, tmp_path):
+    """True multi-process `jax.distributed` run (SURVEY §4): two OS processes
+    x 4 virtual CPU devices each form one 8-device global mesh via
+    `maybe_init_distributed`, step a sharded env batch, and the gathered
+    trajectory (via `fetch_to_host`'s process_allgather path) must match a
+    single-process run of the same seeds."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:                 # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "distributed_worker.py")
+    out_npz = str(tmp_path / "traj.npz")
+    procs = []
+    for pid in range(2):
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env.update(JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, out_npz], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    assert "WORKER0_DONE" in outs[0] + outs[1]
+
+    # single-process reference with identical seeds/config
+    cfg = EnvConfig(ego_only=True, reset_pool=0)
+    ref = _rollout(cfg, assets_val, sharded=False, steps=4)
+    got = np.load(out_npz)
+    for t in range(4):
+        np.testing.assert_allclose(
+            got["states"][t], ref[t][2], atol=1e-3, rtol=1e-5,
+            err_msg=f"step {t} states diverge from single-process run")
+        np.testing.assert_allclose(got["rewards"][t], ref[t][0], atol=1e-4)
+
+
 def test_train_step_runs_sharded(assets_val):
     """One fused SAC rollout+update step executes with the carry sharded
     over the 8-device mesh (the train CLI placement path, rl/train.py)."""

@@ -278,6 +278,7 @@ class TestSACAlphaLoss:
         np.testing.assert_allclose(float(g2), 3.5, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestLearningStarts:
     def test_warmup_skips_updates_then_learns(self, assets_val):
         """Until env_steps >= learning_starts, actions are random and no

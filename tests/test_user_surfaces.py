@@ -96,6 +96,7 @@ def tiny_train_cfg(tmp_path_factory):
         checkpoint_dir=str(d / "ckpt"), log_dir=str(d / "runs"))
 
 
+@pytest.mark.slow
 class TestTrainCli:
     def test_train_eval_checkpoint_resume(self, tiny_train_cfg):
         from torchdriveenv_tpu.rl.train import train

@@ -134,6 +134,16 @@ class RlTrainingConfig:
     # one vmapped batch, reference rl_training.py:159):
     checkpoint_dir: Optional[str] = None
     log_dir: str = "runs"
+    # overrides for the algorithm config dataclass (PPOConfig/SACConfig/...),
+    # e.g. {n_steps: 32, batch_size: 8192} to scale PPO to 1024+ envs
+    algo_kwargs: Optional[dict] = None
+    # off-policy (SAC/TD3) iteration shape: lockstep env steps then gradient
+    # updates per jitted train step. The SB3 semantics (train_freq=1: one
+    # update per env transition at 10 envs) correspond to steps=8/updates=8
+    # at parallel_env_num=10; at 256+ envs raise updates_per_iter to keep a
+    # useful update:data ratio.
+    offpolicy_steps_per_iter: int = 8
+    offpolicy_updates_per_iter: int = 8
 
 
 def _build_dataclass(cls, raw: Any):

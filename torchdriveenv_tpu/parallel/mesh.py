@@ -56,27 +56,66 @@ def shard_carry(carry: Any, mesh: Mesh, num_envs: int,
     return jax.tree.map(place, carry)
 
 
+_distributed_initialized = False
+
+
 def maybe_init_distributed() -> bool:
     """Multi-host entry (SURVEY.md §2.4): initialize the JAX distributed
     runtime when a coordinator is configured via environment
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or any
-    cluster env jax auto-detects — SLURM, TPU pod metadata). Safe no-op on a
-    single host with none of these set. Returns True when initialized."""
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID), or —
+    opt-in via TDE_DISTRIBUTED=1 — under a multi-task SLURM job (auto-detect).
+    Safe no-op on a single host with none of these set.
+
+    MUST run before any other jax API call: touching a backend (even
+    `jax.process_count()`) initializes XLA, after which
+    `jax.distributed.initialize` raises. Re-entry is guarded by a module
+    flag, not a jax query, for the same reason. Returns True when the
+    distributed runtime is (already) initialized."""
     import os
 
-    if jax.process_count() > 1:
-        return True                          # already initialized
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr:
-        jax.distributed.initialize(
-            coordinator_address=addr,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]))
-        return True
-    if os.environ.get("SLURM_NTASKS", "1") not in ("", "1"):
-        jax.distributed.initialize()         # SLURM auto-detect
-        return True
-    return False
+    slurm = (os.environ.get("TDE_DISTRIBUTED", "") == "1"
+             and os.environ.get("SLURM_NTASKS", "1") not in ("", "1"))
+    if not addr and not slurm:
+        return False
+    try:
+        if addr:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]))
+        else:
+            jax.distributed.initialize()     # SLURM auto-detect (opt-in)
+    except RuntimeError as e:
+        # already initialized by the caller, or backends already touched —
+        # surface the latter loudly instead of silently running single-host
+        if "already" not in str(e).lower():
+            raise
+    _distributed_initialized = True
+    return True
+
+
+def fetch_to_host(tree: Any) -> Any:
+    """Pytree → host numpy, safe under multi-host sharding.
+
+    `jax.device_get` fails on globally-sharded arrays whose shards live on
+    other hosts; those leaves are gathered with
+    `multihost_utils.process_allgather` instead (a collective — call this on
+    EVERY process, then let process 0 alone write the result to disk).
+    Single-process (incl. the virtual-device CPU mesh) is plain device_get."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return multihost_utils.process_allgather(x, tiled=True)
+        return jax.device_get(x)
+
+    return jax.tree.map(fetch, tree)
 
 
 def shard_batch(tree: Any, mesh: Mesh, axis_name: str = "env") -> Any:

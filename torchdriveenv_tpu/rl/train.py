@@ -61,19 +61,24 @@ def _flatten_cfg(cfg, prefix="") -> dict:
     return out
 
 
-def build_agent(algo: BaselineAlgorithm, obs_channels: int):
+def build_agent(algo: BaselineAlgorithm, obs_channels: int,
+                algo_kwargs: Optional[dict] = None):
+    """algo_kwargs overrides fields of the algorithm's config dataclass —
+    the TPU-scale knob (e.g. PPO n_steps/batch_size shrink/grow with the
+    env count; the reference hard-codes SB3 kwargs, rl_training.py:166-183)."""
+    kw = dict(algo_kwargs or {})
     if algo == BaselineAlgorithm.sac:
         from torchdriveenv_tpu.rl.sac import SAC, SACConfig
-        return SAC(SACConfig(), obs_channels), False
+        return SAC(SACConfig(**kw), obs_channels), False
     if algo == BaselineAlgorithm.td3:
         from torchdriveenv_tpu.rl.td3 import TD3, TD3Config
-        return TD3(TD3Config(), obs_channels), False
+        return TD3(TD3Config(**kw), obs_channels), False
     if algo == BaselineAlgorithm.ppo:
         from torchdriveenv_tpu.rl.ppo import PPO, PPOConfig
-        return PPO(PPOConfig(), obs_channels), True
+        return PPO(PPOConfig(**kw), obs_channels), True
     if algo == BaselineAlgorithm.a2c:
         from torchdriveenv_tpu.rl.a2c import A2C, A2CConfig
-        return A2C(A2CConfig(), obs_channels), True
+        return A2C(A2CConfig(**kw), obs_channels), True
     raise ValueError(f"unknown algorithm {algo}")
 
 
@@ -120,23 +125,47 @@ class MetricLogger:
               flush=True)
 
 
+class _NullLogger:
+    """Metrics sink for non-zero processes: multi-host runs must not have
+    every host writing the same JSONL/TB/wandb streams (corruption) — all
+    file output is gated on `jax.process_index() == 0`."""
+
+    path = None
+
+    def log(self, step, metrics, prefix=""):
+        pass
+
+
 def save_checkpoint(ckpt_dir: str, name, carry):
     """Full-carry checkpoint (params+opt+buffer+env states+keys) — rare.
 
     The replay buffer makes a full carry ~GBs; the frequent artifact is the
     small model-only save (`save_model`), matching the reference's wandb
-    model_save_freq behavior (rl_training.py:210-215)."""
+    model_save_freq behavior (rl_training.py:210-215).
+
+    Multi-host: `fetch_to_host` allgathers host-sharded leaves (collective —
+    runs on every process); only process 0 writes."""
+    from torchdriveenv_tpu.parallel.mesh import fetch_to_host
+    host_carry = fetch_to_host(carry)
+    if jax.process_index() != 0:
+        return
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(ckpt_dir, str(name)))
-    ocp.PyTreeCheckpointer().save(path, jax.device_get(carry), force=True)
+    ocp.PyTreeCheckpointer().save(path, host_carry, force=True)
 
 
 def save_model(ckpt_dir: str, step: int, agent_state):
-    """Model-only save (few MB): reference wandb model_save_freq analogue."""
+    """Model-only save (few MB): reference wandb model_save_freq analogue.
+
+    agent_state is replicated under the data-parallel sharding, so every
+    host holds a full copy; process 0 alone writes it."""
+    from torchdriveenv_tpu.parallel.mesh import fetch_to_host
+    host_state = fetch_to_host(agent_state)
+    if jax.process_index() != 0:
+        return
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(ckpt_dir, f"model_{step}"))
-    ocp.PyTreeCheckpointer().save(
-        path, jax.device_get(agent_state), force=True)
+    ocp.PyTreeCheckpointer().save(path, host_state, force=True)
 
 
 def restore_checkpoint(path: str, carry_like):
@@ -152,11 +181,14 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
     env_cfg = cfg.env
     num_envs = cfg.parallel_env_num
     fs = env_cfg.frame_stack
-    agent, on_policy = build_agent(algo, obs_channels=3 * fs)
+    agent, on_policy = build_agent(algo, obs_channels=3 * fs,
+                                   algo_kwargs=cfg.algo_kwargs)
 
     run_name = f"{algo.value}-{int(time.time())}"
-    logger = MetricLogger(cfg.log_dir, run_name,
-                          wandb_config=_flatten_cfg(cfg), project=cfg.project)
+    is_main = jax.process_index() == 0
+    logger = (MetricLogger(cfg.log_dir, run_name,
+                           wandb_config=_flatten_cfg(cfg), project=cfg.project)
+              if is_main else _NullLogger())
     train_assets = load_assets("train")
     val_assets = load_assets("val")
 
@@ -165,12 +197,12 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
         steps_per_iter = agent.cfg.n_steps * num_envs
     else:
         # SB3 default train_freq=1: one gradient step per lockstep env step
-        env_steps_per_iter = 8
+        env_steps_per_iter = cfg.offpolicy_steps_per_iter
         init_fn, train_fn = make_offpolicy_train_fns(
             env_cfg, agent, num_envs,
             buffer_capacity=max(agent.cfg.buffer_size // num_envs, 256),
             steps_per_iter=env_steps_per_iter,
-            updates_per_iter=env_steps_per_iter)
+            updates_per_iter=cfg.offpolicy_updates_per_iter)
         steps_per_iter = env_steps_per_iter * num_envs
 
     carry = jax.jit(init_fn)(train_assets, jax.random.PRNGKey(
@@ -242,9 +274,14 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
         _video_jit = jax.jit(_video_rollout)
 
         def record_video(step, key, agent_state):
+            # runs on every process (jit over global arrays is collective);
+            # only process 0 writes the file
+            from torchdriveenv_tpu.parallel.mesh import fetch_to_host
+            frames = fetch_to_host(_video_jit(key, agent_state))
+            if not is_main:
+                return
             os.makedirs(video_dir, exist_ok=True)
-            frames = np.asarray(_video_jit(key, agent_state))
-            save_video(list(frames),
+            save_video(list(np.asarray(frames)),
                        os.path.join(video_dir, f"eval_{step}.avi"))
 
     total = int(cfg.total_timesteps)
