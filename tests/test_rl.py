@@ -221,13 +221,61 @@ class TestGAE:
         np.testing.assert_allclose(np.asarray(adv)[:, 0], expect, atol=1e-6)
         np.testing.assert_allclose(np.asarray(ret), np.asarray(adv + v))
 
-    def test_done_cuts_bootstrap(self):
-        r = jnp.array([[0.0], [0.0]])
-        v = jnp.array([[0.0], [0.0]])
-        d = jnp.array([[True], [False]])
-        adv, _ = compute_gae(r, v, d, jnp.array([100.0]), 0.99, 0.95)
-        # step 0 ends an episode: no value flows back from step 1
+    def test_terminated_cuts_truncated_bootstraps(self):
+        """SB3 on-policy timeout semantics: GAE cuts at every done, but a
+        time-limit truncation first folds gamma*V(final_obs) into the reward
+        (bootstrap_truncated_rewards); a real termination gets nothing."""
+        from torchdriveenv_tpu.rl.ppo import bootstrap_truncated_rewards
+        gamma, lam = 0.99, 0.95
+        r = jnp.array([[0.0, 0.0], [0.0, 0.0]])
+        v = jnp.array([[0.0, 0.0], [0.0, 0.0]])
+        term = jnp.array([[True, False], [False, False]])
+        trunc = jnp.array([[False, True], [False, False]])
+        v_final = jnp.array([[7.0, 7.0], [0.0, 0.0]])
+        r_boot = bootstrap_truncated_rewards(r, term, trunc, v_final, gamma)
+        # env 0 terminated: no bootstrap; env 1 truncated: gamma * V(final)
+        assert float(r_boot[0, 0]) == 0.0
+        np.testing.assert_allclose(float(r_boot[0, 1]), gamma * 7.0)
+        d = term | trunc
+        adv, _ = compute_gae(r_boot, v, d, jnp.array([100.0, 100.0]),
+                             gamma, lam)
+        # done at step 0 cuts propagation from step 1 for both envs...
         assert float(adv[0, 0]) == 0.0
+        # ...but the truncated env keeps the terminal value via the reward
+        np.testing.assert_allclose(float(adv[0, 1]), gamma * 7.0)
+
+    def test_onpolicy_rollout_bootstraps_truncation(self, assets_val):
+        """Integration: a PPO train step near the 200-step horizon stores
+        bootstrapped rewards (raw_reward + gamma*V(final_stack) where
+        truncated & ~terminated) in the rollout it learns from."""
+        from torchdriveenv_tpu.config import EnvConfig
+        from torchdriveenv_tpu.parallel.train_step import \
+            make_onpolicy_train_fns
+        from torchdriveenv_tpu.rl.ppo import PPO, PPOConfig
+        cfg = EnvConfig(max_environment_steps=3, reset_pool=0)
+        cfg.simulator.renderer.obs_res = 16
+        # terminations off so every episode reaches the 3-step truncation
+        cfg.terminated_at_infraction = False
+        agent = PPO(PPOConfig(n_steps=4, batch_size=8, n_epochs=1), 9)
+        init_fn, train_fn = make_onpolicy_train_fns(cfg, agent, 2)
+        carry = jax.jit(init_fn)(assets_val, K(0))
+        captured = {}
+        orig_update = agent.update
+
+        def spy_update(state, rollout, last_value, key):
+            captured["rollout"] = rollout
+            return orig_update(state, rollout, last_value, key)
+
+        agent.update = spy_update
+        # run un-jitted so the spy captures concrete arrays (agent.update is
+        # called outside the collection scan)
+        carry, _ = train_fn(assets_val, carry)
+        ro = jax.device_get(captured["rollout"])
+        boosted = ro["reward"] - ro["raw_reward"]
+        # exactly the truncated steps carry a bootstrap adjustment
+        assert ro["done"].any(), "no truncation happened in 4 steps of T=3"
+        assert (boosted[ro["done"]] != 0.0).all()
+        assert (boosted[~ro["done"]] == 0.0).all()
 
 
 class TestFrameStackOps:

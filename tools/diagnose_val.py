@@ -10,7 +10,7 @@ scenario case, for several probe policies:
   idm    the NPC route-follower driving the ego slot — "can a sane
          lane-follower survive here?" (upper bound on offroad/light safety,
          ignores waypoints)
-  chase  a scripted waypoint chaser (P-控制 steer to target + speed hold) —
+  chase  a scripted waypoint chaser (P-control steer to target + speed hold) —
          "are the waypoints themselves reachable?"
 
 For every episode it records the first termination cause and a snapshot at
@@ -81,6 +81,167 @@ def make_probe(cfg: EnvConfig, assets, policy_kind: str, agent=None,
                 bearing = jnp.arctan2(wp[1] - ego[1], wp[0] - ego[0])
                 steer = jnp.clip(2.0 * _wrap(bearing - ego[2]), -0.3, 0.3)
                 accel = jnp.clip(0.8 * (6.0 - ego[3]), -1.0, 1.0)
+                return jnp.stack([accel, steer])
+            return jax.vmap(one)(state_b)
+        if policy_kind == "drive":
+            # Competent scripted driver — the winnability-ceiling probe.
+            # Differences vs "swerve" (whose margins ignored the env's
+            # 1 m/s^2 decel cap, reference gym_env.py:83): braking distance
+            # v^2/2 + car lengths + buffer, full stop for any blocking
+            # obstacle (standoff > collision: success is surviving to
+            # truncation), cautious approach to ALL stoplines (the 3 s
+            # yellow at <=1 m/s^2 decel has a wide dilemma zone), and a
+            # stop at route end instead of driving off the corridor.
+            from torchdriveenv_tpu.ops.traffic_lights import (
+                LightState,
+                light_states_at,
+            )
+
+            def one(s):
+                maps = assets.maps
+                ego = s.agent_states[0]
+                pos, psi, v = ego[:2], ego[2], ego[3]
+                nw = assets.suite.n_waypoints[s.case]
+                tgt = jnp.minimum(s.target_idx, nw - 1)
+                wp = assets.suite.waypoints[s.case][tgt]
+                done_route = s.target_idx >= nw
+                # aim half a lane to the stored-coords LEFT of the waypoint
+                # (the traffic convention, npc/route_follow.py): the route
+                # polyline is the road center and oncoming NPCs hold the
+                # other half
+                to_wp = wp - pos
+                perp = jnp.stack([-to_wp[1], to_wp[0]]) / jnp.maximum(
+                    jnp.linalg.norm(to_wp), 1e-3)
+                aim = wp + 1.6 * perp
+                bearing = jnp.arctan2(aim[1] - pos[1], aim[0] - pos[0])
+                herr = _wrap(bearing - psi)
+                steer = jnp.clip(1.5 * herr, -0.3, 0.3)
+                fwd = jnp.stack([jnp.cos(psi), jnp.sin(psi)])
+                left = jnp.stack([-jnp.sin(psi), jnp.cos(psi)])
+                rel = s.agent_states[:, :2] - pos[None]
+                lon = rel @ fwd
+                lat = rel @ left
+                slot = jnp.arange(rel.shape[0])
+                ahead = (s.present & (slot != 0) & (lon > 0.0)
+                         & (lon < 40.0) & (jnp.abs(lat) < 3.2))
+                lon_m = jnp.where(ahead, lon, jnp.inf)
+                j = jnp.argmin(lon_m)
+                has = jnp.isfinite(lon_m[j])
+                # hard-brake point: v^2/2 at the 1 m/s^2 cap + ~5 m of car
+                # half-lengths + 5 m buffer (center-to-center distance).
+                # ANY agent in the narrow corridor inside stopping distance
+                # blocks — tracking only the nearest-ahead lets a passing car
+                # in the wide cone mask a parked one dead ahead behind it.
+                stop_d = v * v / 2.0 + 12.0
+                # cone widens with distance (curved-road visibility, same
+                # rationale as npc/route_follow.py emerg_lat) — built from
+                # the un-capped forward set, NOT `ahead` (whose 3.2 m lat
+                # gate would defeat the widening)
+                narrow = (s.present & (slot != 0) & (lon > 0.0)
+                          & (lon < 40.0)
+                          & (jnp.abs(lat) < 3.0 + 0.08 * lon))
+                block = jnp.any(narrow & (lon < stop_d))
+                dodge_sign = jnp.where(lat[j] > 0.2, -1.0, 1.0)
+                dodge = jnp.where(
+                    has & ~block,
+                    dodge_sign * jnp.clip((40.0 - lon_m[j]) / 40.0,
+                                          0.0, 1.0) * 0.25, 0.0)
+                steer = jnp.clip(steer + dodge, -0.3, 0.3)
+                # imminent (cannot stop in time even at full brake): swerve
+                # hard away from the nearest blocker WHILE braking — e.g. a
+                # spawn 5 m behind a parked car at 4+ m/s (Chicken) is
+                # stoppable-distance-doomed but laterally clearable
+                lon_n = jnp.where(narrow, lon, jnp.inf)
+                jn = jnp.argmin(lon_n)
+                imminent = (jnp.isfinite(lon_n[jn])
+                            & (lon_n[jn] < v * v / 2.0 + 6.0)
+                            & (v > 1.5))
+                # swerve only onto pavement: require >=2 m of road on the
+                # chosen side (blind full-lock swerves trade collision for
+                # offroad)
+                sdf_l = sample_sdf(assets.maps, s.town, pos + 3.0 * left)
+                sdf_r = sample_sdf(assets.maps, s.town, pos - 3.0 * left)
+                away = jnp.where(lat[jn] > 0.0, -1.0, 1.0)
+                away_ok = jnp.where(away > 0, sdf_l > 2.0, sdf_r > 2.0)
+                other_ok = jnp.where(away > 0, sdf_r > 2.0, sdf_l > 2.0)
+                sw = jnp.where(away_ok, away,
+                               jnp.where(other_ok, -away, 0.0))
+                steer = jnp.where(imminent, 0.3 * sw, steer)
+                steer = jnp.where(done_route, 0.0, steer)
+                # stoplines: slow near ANY aligned light (green can turn),
+                # hard-brake for non-green within stopping distance
+                t = s.time0 + s.step_idx.astype(jnp.float32) * cfg.simulator.dt
+                sl_mid = (maps.stop_p0[s.town] + maps.stop_p1[s.town]) / 2.0
+                rel_sl = sl_mid - pos[None]
+                sl_lon = rel_sl @ fwd
+                sl_lat = rel_sl @ left
+                # lat gate matches the env's violation geometry (stopline
+                # half-length 4 + half car width, ops/traffic_lights.py:70)
+                # — wider and a cross-street's red line stalls the ego on
+                # top of its own green one
+                aligned = jnp.cos(psi - maps.stop_dir[s.town]) > 0.2
+                base = (maps.light_mask[s.town] & aligned & (sl_lon > 0.0)
+                        & (jnp.abs(sl_lat) < 5.0))
+                gap = sl_lon - 2.5          # front bumper
+                states_l = light_states_at(maps, s.town, t)
+                any_gap = jnp.min(jnp.where(base, gap, jnp.inf))
+                red_gap = jnp.min(jnp.where(
+                    base & (states_l != LightState.GREEN), gap, jnp.inf))
+                yellow_gap = jnp.min(jnp.where(
+                    base & (states_l == LightState.YELLOW), gap, jnp.inf))
+                # approach-speed cap vs a light that COULD turn: at the
+                # 1 m/s^2 decel cap, being able to stop 4 m short of the
+                # line requires v^2/2 <= gap-4; the 2 m/s floor keeps
+                # rolling (crossing on yellow is legal — 3 s yellow clears
+                # a <=6 m gap at 2 m/s)
+                green_cap = jnp.clip(
+                    jnp.sqrt(2.0 * jnp.maximum(any_gap - 5.0, 0.0)),
+                    2.0, 6.0)
+                v_tgt = jnp.where(jnp.isfinite(any_gap) & (any_gap < 45.0),
+                                  green_cap, 5.0)
+                # slow through turns: a sharp corner both hides cross-street
+                # stoplines until late and needs lateral-accel margin
+                v_tgt = jnp.minimum(
+                    v_tgt, jnp.sqrt(3.0 * 6.0 / jnp.maximum(
+                        jnp.abs(herr), 0.05)))
+                v_tgt = jnp.where(done_route, 0.0, v_tgt)
+                can_stop = red_gap >= v * v / 2.0 + 2.0
+                nong = jnp.isfinite(red_gap)
+                brake_light = nong & (red_gap < v * v / 2.0 + 6.0)
+                # too close to stop when it flipped YELLOW: clear the line
+                # before red (legal on yellow). On a light that is already
+                # RED, never punch — brake as hard as the cap allows.
+                clear_past = ~jnp.any(narrow & (lon < red_gap + 14.0)
+                                      & (jnp.abs(lat) < 2.5))
+                # punch only when the REMAINING yellow outlasts the crossing
+                # time — a queue can hold the ego until late in the yellow,
+                # and punching then lands the front bumper on a fresh red
+                # (the phase countdown is deterministic; a trained policy
+                # can infer it from its frame stack)
+                g_d, y_d = (maps.light_durations[0], maps.light_durations[1])
+                period = maps.light_durations.sum()
+                phase = jnp.mod(t + maps.light_phase[s.town], period)
+                yrem = jnp.clip(g_d + y_d - phase, 0.0, y_d)      # (L,)
+                l_idx = jnp.argmin(jnp.where(
+                    base & (states_l != LightState.GREEN), gap, jnp.inf))
+                t_cross = (red_gap + 4.0) / jnp.maximum(v, 1.0)
+                punch = (jnp.isfinite(yellow_gap) & (yellow_gap <= red_gap)
+                         & ~can_stop & clear_past
+                         & (yrem[l_idx] > t_cross + 0.2))
+                brake_light = brake_light & ~punch
+                # brake to a STOP, never through it into reverse (the
+                # kinematic bicycle integrates accel through v=0)
+                brake_a = jnp.clip(-v / 0.1, -1.0, 1.0)
+                # asymmetric gains: the green-light speed-cap curve
+                # sqrt(2(gap-5)) decays at exactly the 1 m/s^2 brake cap, so
+                # a gain-0.8 tracker lags it by 1.25 m/s and erodes the
+                # whole stopping margin — brake with full authority
+                cruise = jnp.clip(jnp.where(v > v_tgt, 2.5, 0.8)
+                                  * (v_tgt - v), -1.0, 1.0)
+                accel = jnp.where(
+                    block, brake_a,
+                    jnp.where(punch, 1.0,
+                              jnp.where(brake_light, brake_a, cruise)))
                 return jnp.stack([accel, steer])
             return jax.vmap(one)(state_b)
         if policy_kind == "swerve":

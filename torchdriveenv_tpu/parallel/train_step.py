@@ -154,16 +154,30 @@ def make_onpolicy_train_fns(env_cfg: EnvConfig, agent, num_envs: int,
                              jnp.zeros((), jnp.int32))
 
     def train_step_fn(assets: Assets, carry):
-        _, step_fn = make_env_fns(env_cfg, assets, render=True)
+        # with_final_obs: the pre-auto-reset terminal observation, needed for
+        # SB3 timeout bootstrapping (bootstrap_truncated_rewards below)
+        _, step_fn = make_env_fns(env_cfg, assets, render=True,
+                                  with_final_obs=True)
 
         def one(rs, _):
+            from torchdriveenv_tpu.rl.ppo import bootstrap_truncated_rewards
             k_act, k_next = jax.random.split(rs.key)
             a, logp, value = agent.select_action(
                 carry.agent_state, rs.obs_stack, k_act)
             out = step_fn(rs.env_state, scale_action(a))
             done = out.terminated | out.truncated
+            # terminal frame stack: shift in final_obs WITHOUT the episode-
+            # boundary refill (it belongs to the ending episode)
+            c = out.final_obs.shape[1]
+            final_stack = jnp.concatenate(
+                [rs.obs_stack[:, c:], out.final_obs], axis=1)
+            v_final = agent.value(carry.agent_state, final_stack)
+            reward = bootstrap_truncated_rewards(
+                out.reward, out.terminated, out.truncated, v_final,
+                agent.cfg.gamma)
             data = dict(obs=rs.obs_stack, action=a, log_prob=logp,
-                        value=value, reward=out.reward, done=done)
+                        value=value, reward=reward, done=done,
+                        raw_reward=out.reward)
             stack = update_stack(rs.obs_stack, out.obs, done)
             return RolloutState(out.state, stack, k_next), data
 
@@ -172,7 +186,7 @@ def make_onpolicy_train_fns(env_cfg: EnvConfig, agent, num_envs: int,
         k_up, k_next = jax.random.split(carry.key)
         agent_state, metrics = agent.update(
             carry.agent_state, rollout, last_value, k_up)
-        metrics["mean_step_reward"] = rollout["reward"].mean()
+        metrics["mean_step_reward"] = rollout["raw_reward"].mean()
         new_carry = OnPolicyCarry(rs, agent_state, k_next,
                                   carry.env_steps + n_steps * num_envs)
         return new_carry, metrics

@@ -24,17 +24,27 @@ from torchdriveenv_tpu.rl.rollout import init_stack, update_stack
 
 def make_evaluator(reset_fn, step_fn, policy: Callable,
                    frame_stack: int, scale_action: Callable,
-                   max_steps: int = 200):
+                   max_steps: int = 200, cases=None, n_cases: int = None):
     """policy(policy_state, obs_stack) -> normalized deterministic action
     (E, A); `policy_state` (params etc.) is threaded through evaluate so the
     jitted evaluator never captures stale parameters.
 
+    `cases`: optional per-episode fixed scenario indices (len == n episodes)
+    with `n_cases` the static suite size. When given, episodes start on
+    those exact cases and the metric dict additionally carries
+    ``success_case_{i}`` / ``episodes_case_{i}`` per case — without this a
+    0% aggregate cannot say WHICH of the reference's five named validation
+    cases (reference README.md:15-27) fails.
+
     Returns evaluate(keys, policy_state) computing the metric dict; jit the
     returned callable (n_episodes = len(keys) = env batch of the reset_fn).
     """
+    if cases is not None:
+        cases = jnp.asarray(cases, jnp.int32)
 
     def evaluate(keys: jnp.ndarray, policy_state) -> Dict[str, jnp.ndarray]:
-        env_state, obs = reset_fn(keys)
+        env_state, obs = reset_fn(keys) if cases is None \
+            else reset_fn(keys, cases)
         e = obs.shape[0]
         stack = init_stack(obs, frame_stack)
 
@@ -81,7 +91,7 @@ def make_evaluator(reset_fn, step_fn, policy: Callable,
             one, (env_state, stack, acc), None, length=max_steps)
 
         length = jnp.maximum(acc["length"].astype(jnp.float32), 1.0)
-        return dict(
+        metrics = dict(
             mean_episode_reward=acc["reward"].mean(),
             mean_episode_length=length.mean(),
             offroad_rate=acc["offroad"].mean(),
@@ -92,5 +102,16 @@ def make_evaluator(reset_fn, step_fn, policy: Callable,
             psi_smoothness=(acc["psi_sm_sum"] / length).mean(),
             speed_smoothness=(acc["speed_sm_sum"] / length).mean(),
         )
+        if cases is not None:
+            onehot = jax.nn.one_hot(cases, n_cases)          # (E, C)
+            n_per = jnp.maximum(onehot.sum(0), 1.0)          # episodes/case
+            succ = (onehot * acc["success"][:, None].astype(
+                jnp.float32)).sum(0) / n_per
+            reach = (onehot * acc["reached"][:, None].astype(
+                jnp.float32)).sum(0) / n_per
+            for i in range(n_cases):
+                metrics[f"success_case_{i}"] = succ[i]
+                metrics[f"reached_case_{i}"] = reach[i]
+        return metrics
 
     return evaluate

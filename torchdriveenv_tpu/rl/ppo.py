@@ -47,11 +47,29 @@ class PPOState:
     step: jnp.ndarray
 
 
+def bootstrap_truncated_rewards(reward, terminated, truncated, v_final,
+                                gamma):
+    """SB3 OnPolicyAlgorithm timeout handling: on a time-limit truncation the
+    collected reward is augmented with ``gamma * V(terminal_observation)``
+    before GAE (SB3 on_policy_algorithm.collect_rollouts; the reference's PPO
+    and A2C baselines inherit this, reference rl_training.py:171-178).
+    Real terminations (collision/offroad/light) are NOT bootstrapped — their
+    value is genuinely zero. GAE still cuts at done; the bootstrap rides in
+    on the reward. In this env success is *defined* as reaching the 200-step
+    truncation, so zeroing the value there would bias exactly the
+    trajectories the learner must value highest.
+    """
+    boot = truncated & ~terminated
+    return reward + gamma * jnp.where(boot, v_final, 0.0)
+
+
 def compute_gae(rewards, values, dones, last_value, gamma, lam):
     """Time-major GAE. rewards/values/dones: (T, E); last_value: (E,).
 
     dones marks episode end AT step t (next state belongs to a new episode);
-    both advantage propagation and bootstrap are cut there.
+    both advantage propagation and bootstrap are cut there. Time-limit
+    truncations must be pre-bootstrapped into `rewards` via
+    `bootstrap_truncated_rewards` (SB3 semantics).
     """
     def scan_fn(carry, inp):
         adv_next, v_next = carry

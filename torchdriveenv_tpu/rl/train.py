@@ -144,7 +144,12 @@ def save_checkpoint(ckpt_dir: str, name, carry):
     model_save_freq behavior (rl_training.py:210-215).
 
     Multi-host: `fetch_to_host` allgathers host-sharded leaves (collective —
-    runs on every process); only process 0 writes."""
+    runs on every process); only process 0 writes. NOTE: on a pod,
+    `checkpoint_dir` must be on a shared filesystem (GCS/NFS) — restore
+    (`--resume_from`) reads the same path on every process. The full-carry
+    allgather moves the whole replay buffer to every host; it runs only at
+    the rare `snapshot_every` cadence (the frequent artifact is the small
+    model-only `save_model`)."""
     from torchdriveenv_tpu.parallel.mesh import fetch_to_host
     host_carry = fetch_to_host(carry)
     if jax.process_index() != 0:
@@ -226,7 +231,7 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
 
     # --- evaluators (reference rl_training.py:185-203); `deterministic`
     # honored from RlCallbackConfig (reference common.py:19)
-    def make_eval(assets, n_episodes, deterministic):
+    def make_eval(assets, n_episodes, deterministic, per_case=False):
         reset_fn, step_fn = make_env_fns(env_cfg, assets, render=True)
 
         def policy(agent_state, stack):
@@ -235,14 +240,22 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
                                       deterministic=deterministic)
             return out[0] if isinstance(out, tuple) else out
 
+        # per_case: round-robin fixed cases so the log carries
+        # eval/success_case_{i} for each of the (5) named validation cases
+        cases = n_cases = None
+        if per_case:
+            n_cases = int(assets.suite.case_town.shape[0])
+            n_episodes = max(n_episodes, n_cases)
+            cases = np.arange(n_episodes) % n_cases
         ev = make_evaluator(reset_fn, step_fn, policy, fs, scale_action,
-                            max_steps=env_cfg.max_environment_steps)
+                            max_steps=env_cfg.max_environment_steps,
+                            cases=cases, n_cases=n_cases)
         return jax.jit(lambda key, agent_state: ev(
             jax.random.split(key, n_episodes), agent_state))
 
     n_ep = max(cfg.eval_val_callback.eval_n_episodes, 1)
     eval_val = make_eval(val_assets, n_ep,
-                         cfg.eval_val_callback.deterministic)
+                         cfg.eval_val_callback.deterministic, per_case=True)
     eval_train = make_eval(train_assets,
                            max(cfg.eval_train_callback.eval_n_episodes, 1),
                            cfg.eval_train_callback.deterministic)
