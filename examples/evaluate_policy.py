@@ -69,8 +69,17 @@ def evaluate(checkpoint: str, algorithm: str = "sac", episodes: int = 10,
                                   deterministic=True)
         return out[0] if isinstance(out, tuple) else out
 
+    # validation episodes are pinned round-robin to the 5 named cases so the
+    # report carries success_case_{i} (reference README.md:15-27 granularity)
+    cases = n_cases = None
+    if suite == "val":
+        import numpy as np
+        n_cases = int(assets.suite.case_town.shape[0])
+        episodes = max(episodes, n_cases)
+        cases = np.arange(episodes) % n_cases
     ev = make_evaluator(reset_fn, step_fn, policy, env_cfg.frame_stack,
-                        scale_action, max_steps=env_cfg.max_environment_steps)
+                        scale_action, max_steps=env_cfg.max_environment_steps,
+                        cases=cases, n_cases=n_cases)
     keys = jax.random.split(jax.random.PRNGKey(123), episodes)
     metrics = jax.jit(ev)(keys, agent_state)
     return {k: float(jnp.asarray(v)) for k, v in metrics.items()}
