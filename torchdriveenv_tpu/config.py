@@ -144,6 +144,12 @@ class RlTrainingConfig:
     # useful update:data ratio.
     offpolicy_steps_per_iter: int = 8
     offpolicy_updates_per_iter: int = 8
+    # full-carry snapshot cadence (params+opt+replay buffer+env states) in
+    # env steps; 0 disables periodic AND end-of-run full snapshots (model-only
+    # saves still happen at model_save_freq). A full SAC carry is GB-scale
+    # (replay frames) — over a tunneled device transport the fetch can stall
+    # a run, and evaluate/resume-from-model only needs the small save.
+    full_snapshot_every: int = 0
 
 
 def _build_dataclass(cls, raw: Any):

@@ -300,7 +300,8 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
     total = int(cfg.total_timesteps)
     eval_every = max(cfg.eval_val_callback.n_steps, steps_per_iter)
     model_save_every = max(cfg.wandb_callback.model_save_freq, steps_per_iter)
-    snapshot_every = max(total // 20, model_save_every)
+    snapshot_every = (max(cfg.full_snapshot_every, model_save_every)
+                      if cfg.full_snapshot_every else None)
     video_every = eval_every * 10
     log_every_iters = max(1, 1000 // steps_per_iter)
     ckpt_dir = cfg.checkpoint_dir or os.path.join("models", run_name)
@@ -308,7 +309,7 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
     env_steps = int(np.asarray(carry.env_steps))
     next_eval = 0
     next_model = model_save_every
-    next_snapshot = snapshot_every
+    next_snapshot = snapshot_every if snapshot_every else float("inf")
     next_video = 0
     t_start = time.time()
     k_eval = jax.random.PRNGKey(10_000)
@@ -347,7 +348,8 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
             save_checkpoint(ckpt_dir, "full_latest", carry)
 
     save_model(ckpt_dir, env_steps, carry.agent_state)
-    save_checkpoint(ckpt_dir, "full_latest", carry)
+    if snapshot_every:
+        save_checkpoint(ckpt_dir, "full_latest", carry)
     return carry
 
 
