@@ -181,7 +181,12 @@ def restore_checkpoint(path: str, carry_like):
 
 
 def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
-          max_wall_s: Optional[float] = None):
+          max_wall_s: Optional[float] = None,
+          init_model: Optional[str] = None):
+    """`resume_from` restores a FULL carry (same env count / buffer shape);
+    `init_model` warm-starts only the agent state (params/opt/alpha) from a
+    model-only save — the cross-scale path (e.g. continue a 10-env
+    reference-recipe policy at 128 envs, where the carry shapes differ)."""
     algo = cfg.algorithm or BaselineAlgorithm.sac
     env_cfg = cfg.env
     num_envs = cfg.parallel_env_num
@@ -214,6 +219,9 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
         env_cfg.seed if env_cfg.seed is not None else 0))
     if resume_from:
         carry = restore_checkpoint(resume_from, carry)
+    elif init_model:
+        carry = carry.replace(agent_state=restore_checkpoint(
+            init_model, carry.agent_state))
 
     # data-parallel placement over all local (or, under jax.distributed, all
     # global) devices: env-batched leaves sharded, learner replicated; GSPMD
@@ -360,6 +368,9 @@ def main():
     ap.add_argument("--total_timesteps", type=float, default=None)
     ap.add_argument("--parallel_env_num", type=int, default=None)
     ap.add_argument("--resume_from", type=str, default=None)
+    ap.add_argument("--init_model", type=str, default=None,
+                    help="warm-start agent state from a model-only save "
+                    "(cross-env-count, unlike --resume_from)")
     ap.add_argument("--max_wall_s", type=float, default=None)
     args = ap.parse_args()
 
@@ -376,7 +387,8 @@ def main():
         cfg.total_timesteps = int(args.total_timesteps)
     if args.parallel_env_num is not None:
         cfg.parallel_env_num = args.parallel_env_num
-    train(cfg, resume_from=args.resume_from, max_wall_s=args.max_wall_s)
+    train(cfg, resume_from=args.resume_from, max_wall_s=args.max_wall_s,
+          init_model=args.init_model)
 
 
 if __name__ == "__main__":
