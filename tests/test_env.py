@@ -200,6 +200,43 @@ class TestBatchedAutoReset:
         sc = np.asarray(state.step_idx)
         assert (sc >= 0).all() and (sc <= 200).all()
 
+    def test_pooled_reset_mass_truncation(self, assets_val):
+        """Boundary case: B > pool and ALL envs truncate simultaneously
+        (synchronized episode starts hitting the horizon together, the
+        evaluator's worst case). Pool entries are reused modulo R; every env
+        must still restart cleanly with a distinct per-env rng stream so the
+        *following* episodes decorrelate."""
+        B, R, horizon = 12, 4, 6
+        env = BatchedEnv(_cfg(ego_only=True, reset_pool=R,
+                              max_environment_steps=horizon),
+                         assets_val, num_envs=B)
+        state, _ = env.reset(jax.random.PRNGKey(5))
+        acts = jnp.zeros((B, 2))  # idle: no infractions, pure truncation
+        for i in range(horizon):
+            out = env.step(state, acts)
+            state = out.state
+        trunc = np.asarray(out.truncated)
+        assert trunc.all(), "synchronized batch must truncate together"
+        sc = np.asarray(state.step_idx)
+        assert (sc == 0).all()
+        # modulo-R reuse: at most R distinct scenario cases right after the
+        # mass reset...
+        cases = np.asarray(state.case)
+        assert len(np.unique(cases)) <= R
+        # ...but rng streams stay per-env distinct
+        rngs = np.asarray(state.rng)
+        assert len(np.unique(rngs, axis=0)) == B
+        # and the NEXT mass reset decorrelates envs that shared an entry:
+        # run a second full episode; envs sharing a pool slot before now
+        # have different step-through states only via rng, so their second
+        # resets must not be forced identical across the whole batch
+        for _ in range(horizon):
+            out = env.step(state, acts)
+            state = out.state
+        assert np.asarray(out.truncated).all()
+        rngs2 = np.asarray(state.rng)
+        assert len(np.unique(rngs2, axis=0)) == B
+
     def test_pooled_reset(self, assets_val):
         """reset_pool < B: done envs still get fresh, distinct episodes."""
         env = BatchedEnv(_cfg(ego_only=True, reset_pool=4), assets_val,

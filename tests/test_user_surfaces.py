@@ -135,9 +135,14 @@ class TestTrainCli:
             os.path.join(tiny_train_cfg.checkpoint_dir, model),
             algorithm="sac", episodes=2, suite="val",
             env_cfg=tiny_train_cfg.env)
-        assert set(metrics) == {
+        base = {
             "mean_episode_reward", "mean_episode_length", "offroad_rate",
             "collision_rate", "traffic_light_violation_rate",
             "success_percentage", "reached_waypoint_num", "psi_smoothness",
             "speed_smoothness"}
+        # suite="val" pins episodes to the 5 named cases and adds per-case
+        # success/reached breakdowns (reference README.md:15-27 granularity)
+        per_case = {f"{k}_case_{i}" for k in ("success", "reached")
+                    for i in range(5)}
+        assert set(metrics) == base | per_case
         assert 0 < metrics["mean_episode_length"] <= 16

@@ -145,10 +145,12 @@ class RlTrainingConfig:
     offpolicy_steps_per_iter: int = 8
     offpolicy_updates_per_iter: int = 8
     # full-carry snapshot cadence (params+opt+replay buffer+env states) in
-    # env steps; 0 disables periodic AND end-of-run full snapshots (model-only
-    # saves still happen at model_save_freq). A full SAC carry is GB-scale
-    # (replay frames) — over a tunneled device transport the fetch can stall
-    # a run, and evaluate/resume-from-model only needs the small save.
+    # env steps. >0: periodic snapshots plus one at end of run; 0 (default):
+    # end-of-run `full_latest` only — --resume_from always has something to
+    # restore; <0: fully disabled (model-only saves still happen at
+    # model_save_freq). A full SAC carry is GB-scale (replay frames) — over a
+    # tunneled device transport periodic fetches can stall a run, hence the
+    # end-of-run-only default.
     full_snapshot_every: int = 0
 
 

@@ -70,7 +70,25 @@ def leader_gaps(states, attrs, present):
     # agent 20 m along the arc sits s^2/2R off the heading tangent — a
     # parallel corridor never sees it until the last car length
     emerg_lat = EMERG_LAT + 0.1 * lon
-    is_emerg = pair & (lon < emerg_d) & (jnp.abs(lat) < emerg_lat)
+    in_cone = jnp.abs(lat) < emerg_lat
+    # near-antiparallel traffic (an opposing stream on a two-way road) sits
+    # ~2*LANE_OFFSET = 3.5 m laterally — inside the widened cone beyond
+    # ~5 m lon, so two passing NPCs would mutually emergency-brake and
+    # stand off. Gate oncoming pairs on closing geometry instead: project
+    # the relative velocity, extrapolate lateral offset to the moment of
+    # longitudinal closest approach, and only brake when the predicted
+    # miss distance is inside one lane width.
+    vel = v[:, None] * fwd                               # (A, 2)
+    vrel = vel[None, :, :] - vel[:, None, :]             # (i, j, 2)
+    vrel_lon = jnp.einsum("ijd,id->ij", vrel, fwd)
+    vrel_lat = jnp.einsum("ijd,id->ij", vrel, left)
+    closing = -vrel_lon                                  # >0: gap shrinking
+    tc = jnp.clip(lon / jnp.maximum(closing, 1e-3), 0.0, 4.0)
+    lat_pred = lat + vrel_lat * tc
+    oncoming = cospsi < -0.5
+    oncoming_hit = (jnp.abs(lat_pred) < 2.0) & (closing > 0.5)
+    is_emerg = (pair & (lon < emerg_d)
+                & jnp.where(oncoming, oncoming_hit, in_cone))
     a = states.shape[0]
     noself = ~jnp.eye(a, dtype=bool)
     is_obst = (is_leader | is_emerg) & noself

@@ -32,7 +32,7 @@ def make_evaluator(reset_fn, step_fn, policy: Callable,
     `cases`: optional per-episode fixed scenario indices (len == n episodes)
     with `n_cases` the static suite size. When given, episodes start on
     those exact cases and the metric dict additionally carries
-    ``success_case_{i}`` / ``episodes_case_{i}`` per case — without this a
+    ``success_case_{i}`` / ``reached_case_{i}`` per case — without this a
     0% aggregate cannot say WHICH of the reference's five named validation
     cases (reference README.md:15-27) fails.
 

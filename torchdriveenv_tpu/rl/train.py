@@ -112,6 +112,13 @@ class MetricLogger:
             self._wandb = None
 
     def log(self, step: int, metrics: dict, prefix: str = ""):
+        # one batched device->host transfer for the whole dict: per-scalar
+        # np.asarray fetches are a ~12 ms tunnel round-trip EACH, which at
+        # 9+ metrics per iteration dominated the r4 scale-SAC loop (the
+        # measured "learner-bound ~330 env-steps/s" was host logging;
+        # artifacts/bench_r05_learner_breakdown.json has the real learner
+        # numbers)
+        metrics = jax.device_get(metrics)
         flat = {f"{prefix}{k}": float(np.asarray(v))
                 for k, v in metrics.items()}
         self._f.write(json.dumps({"step": step, **flat}) + "\n")
@@ -309,7 +316,11 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
     eval_every = max(cfg.eval_val_callback.n_steps, steps_per_iter)
     model_save_every = max(cfg.wandb_callback.model_save_freq, steps_per_iter)
     snapshot_every = (max(cfg.full_snapshot_every, model_save_every)
-                      if cfg.full_snapshot_every else None)
+                      if cfg.full_snapshot_every > 0 else None)
+    if cfg.full_snapshot_every < 0:
+        print("full snapshots disabled (full_snapshot_every < 0): "
+              "--resume_from will have nothing to restore from this run",
+              flush=True)
     video_every = eval_every * 10
     log_every_iters = max(1, 1000 // steps_per_iter)
     ckpt_dir = cfg.checkpoint_dir or os.path.join("models", run_name)
@@ -324,6 +335,7 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
     iters = 0
     metrics = None
 
+    pending_log = None    # (step, device-metrics) deferred one iteration
     while env_steps < total:
         if max_wall_s is not None and time.time() - t_start > max_wall_s:
             print("wall-clock budget reached", flush=True)
@@ -331,10 +343,16 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
         carry, metrics = train_step(train_assets, carry)
         env_steps += steps_per_iter          # host-side mirror of carry.env_steps
         iters += 1
+        # flush the PREVIOUS iteration's metrics now that the next step is
+        # dispatched: the device->host fetch (a tunnel round-trip) overlaps
+        # the in-flight train step instead of stalling the device
+        if pending_log is not None:
+            logger.log(*pending_log, prefix="train/")
+            pending_log = None
         if iters % log_every_iters == 0:
             m = dict(metrics)
             m["env_steps_per_s"] = env_steps / (time.time() - t_start)
-            logger.log(env_steps, m, prefix="train/")
+            pending_log = (env_steps, m)
 
         if env_steps >= next_eval:
             next_eval = env_steps + eval_every
@@ -355,8 +373,10 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
             save_model(ckpt_dir, env_steps, carry.agent_state)
             save_checkpoint(ckpt_dir, "full_latest", carry)
 
+    if pending_log is not None:
+        logger.log(*pending_log, prefix="train/")
     save_model(ckpt_dir, env_steps, carry.agent_state)
-    if snapshot_every:
+    if cfg.full_snapshot_every >= 0:
         save_checkpoint(ckpt_dir, "full_latest", carry)
     return carry
 
