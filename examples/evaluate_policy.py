@@ -92,10 +92,18 @@ def main():
     ap.add_argument("--episodes", type=int, default=10)
     ap.add_argument("--suite", default="val")
     ap.add_argument("--full_checkpoint", action="store_true")
+    ap.add_argument("--npc_mode", default=None, choices=["route", "policy"],
+                    help="override the NPC behavioral model (deterministic "
+                    "IDM route-follower vs the distilled GRU policy, the "
+                    "trainable IAI-DRIVE stand-in)")
     args = ap.parse_args()
 
+    env_cfg = None
+    if args.npc_mode:
+        env_cfg = EnvConfig(npc_mode=args.npc_mode)
     metrics = evaluate(args.checkpoint, args.algorithm, args.episodes,
-                       args.suite, full_checkpoint=args.full_checkpoint)
+                       args.suite, env_cfg=env_cfg,
+                       full_checkpoint=args.full_checkpoint)
     for k, v in sorted(metrics.items()):
         print(f"eval/{k}: {v:.4f}")
 

@@ -362,6 +362,55 @@ class TestLearningStarts:
         assert np.isfinite(float(m["critic_loss"]))
 
 
+class TestDemoWarmup:
+    def test_scripted_driver_actions_in_box(self, assets_val):
+        """rl/demo.py scripted driver: finite env-box actions on a reset
+        batch (the demo-warmup buffer-seeding path)."""
+        import functools
+        from torchdriveenv_tpu.config import EnvConfig
+        from torchdriveenv_tpu.env import core
+        from torchdriveenv_tpu.rl.demo import make_scripted_driver
+
+        cfg = EnvConfig()
+        drv = make_scripted_driver(cfg, assets_val)
+        states = jax.vmap(functools.partial(core.reset, cfg, assets_val))(
+            jax.random.split(K(3), 6))
+        a = np.asarray(jax.jit(drv)(states))
+        assert a.shape == (6, 2)
+        assert np.isfinite(a).all()
+        assert (a[:, 0] >= -1.0 - 1e-6).all() and (a[:, 0] <= 1.0 + 1e-6).all()
+        assert (np.abs(a[:, 1]) <= 0.3 + 1e-6).all()
+
+    def test_demo_phase_feeds_buffer_and_learns(self, assets_val):
+        """With demo_fn set, the demo phase replaces policy actions while
+        gradient updates still begin at learning_starts."""
+        from torchdriveenv_tpu.config import EnvConfig
+        from torchdriveenv_tpu.parallel.train_step import (
+            make_offpolicy_train_fns,
+        )
+        from torchdriveenv_tpu.rl.demo import make_scripted_driver
+
+        cfg = EnvConfig(ego_only=True)
+        cfg.simulator.renderer.obs_res = 32
+        sac = SAC(SACConfig(batch_size=4, learning_starts=4))
+        demo = make_scripted_driver(cfg, assets_val)
+        init_fn, train_fn = make_offpolicy_train_fns(
+            cfg, sac, num_envs=2, buffer_capacity=64,
+            steps_per_iter=2, updates_per_iter=1,
+            demo_fn=demo, demo_steps=12)
+        carry = jax.jit(init_fn)(assets_val, K(0))
+        step = jax.jit(train_fn)
+        carry, m = step(assets_val, carry)          # warmup (no updates)
+        p0 = jax.tree.leaves(carry.agent_state.actor_params)[0].copy()
+        carry, m = step(assets_val, carry)          # demo phase, learning on
+        p1 = jax.tree.leaves(carry.agent_state.actor_params)[0]
+        assert not np.allclose(np.asarray(p0), np.asarray(p1))
+        assert np.isfinite(float(m["critic_loss"]))
+        # demo actions landed in the buffer in normalized space
+        acts = np.asarray(carry.buffer.action[:, :4])
+        assert np.isfinite(acts).all() and (np.abs(acts) <= 1.0 + 1e-6).all()
+
+
 class TestLearners:
     def test_sac_update_moves_params(self):
         sac = SAC(SACConfig(batch_size=8))

@@ -144,6 +144,12 @@ class RlTrainingConfig:
     # useful update:data ratio.
     offpolicy_steps_per_iter: int = 8
     offpolicy_updates_per_iter: int = 8
+    # off-policy demonstration warmup: for the first N env steps actions
+    # come from the scripted demonstration driver (rl/demo.py) instead of
+    # the policy, seeding the replay buffer with trajectories that reach
+    # the 200-step horizon (gradient updates run as usual from
+    # learning_starts). 0 (default) = off, matching SB3's random warmup.
+    demo_warmup_steps: int = 0
     # full-carry snapshot cadence (params+opt+replay buffer+env states) in
     # env steps. >0: periodic snapshots plus one at end of run; 0 (default):
     # end-of-run `full_latest` only — --resume_from always has something to

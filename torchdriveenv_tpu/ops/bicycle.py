@@ -16,13 +16,15 @@ driving control design"):
     v'   = a
 
 `beta_factor` is lr / (lf + lr); the default 0.5 (lf == lr, reference point
-at the body center) is an ASSUMPTION about torchdrivesim's discretization
-(pinned tds 6c7957c is not vendored; reference consumes it at
-gym_env.py:245-247) — it is configurable (TorchDriveConfig
-.bicycle_beta_factor) so the exact tds value can be dialed in when verified
-against the pinned package, without invalidating the committed golden
-trajectories (tests/golden/, tools/golden_trajectories.py) which pin the
-CURRENT semantics.
+at the body center) is the PINNED FINAL value (DESIGN.md "Kinematic bicycle
+discretization"): tds 6c7957c is not vendored, offline verification is
+impossible, and the reference's bundled data cannot discriminate the
+discretization — 0.5 is the consistent choice given the env treats [x, y]
+as the box center everywhere (collision, render, waypoints; reference
+consumes tds at gym_env.py:245-247). It remains configurable
+(TorchDriveConfig.bicycle_beta_factor); the committed golden trajectories
+(tools/golden_trajectories.py) pin the semantics so changing it is an
+explicit, visible re-record.
 
 State layout `[x, y, psi, speed]` matches the reference (gym_env.py:371-375).
 Pure function, broadcasts over any leading batch/agent dims, vmap/scan safe.

@@ -37,7 +37,8 @@ def make_offpolicy_train_fns(env_cfg: EnvConfig, agent, num_envs: int,
                              buffer_capacity: int = 10_000,
                              steps_per_iter: int = 1,
                              updates_per_iter: int = 1,
-                             mesh=None):
+                             mesh=None,
+                             demo_fn=None, demo_steps: int = 0):
     """Build (init_fn, train_step_fn) for SAC/TD3.
 
     init_fn(assets, key) -> OffPolicyCarry
@@ -53,6 +54,12 @@ def make_offpolicy_train_fns(env_cfg: EnvConfig, agent, num_envs: int,
     SB3 warmup semantics (`learning_starts`, sb3 off_policy_algorithm):
     while total env steps < learning_starts, actions are drawn uniformly
     from the action space and no gradient updates run.
+
+    `demo_fn` (optional): scripted state-based driver (rl/demo.py); while
+    total env steps < `demo_steps`, actions come from it instead of the
+    policy, seeding the buffer with demonstration transitions (gradient
+    updates still start at learning_starts — off-policy SAC learns from the
+    demo data as it streams in).
     """
     fs = env_cfg.frame_stack
     res = env_cfg.simulator.renderer.obs_res
@@ -82,6 +89,12 @@ def make_offpolicy_train_fns(env_cfg: EnvConfig, agent, num_envs: int,
             a_rand = jax.random.uniform(k_rand, a_pi.shape,
                                         minval=-1.0, maxval=1.0)
             a = jnp.where(warmup, a_rand, a_pi)
+            if demo_fn is not None:
+                from torchdriveenv_tpu.models.policies import unscale_action
+                demo_phase = carry.env_steps < demo_steps
+                a_demo = jnp.clip(unscale_action(demo_fn(rs.env_state)),
+                                  -1.0, 1.0)
+                a = jnp.where(demo_phase, a_demo, a)
             out = step_fn(rs.env_state, scale_action(a))
             done = out.terminated | out.truncated
             cur_frame = rs.obs_stack[:, -3:]

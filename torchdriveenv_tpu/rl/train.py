@@ -215,11 +215,16 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
     else:
         # SB3 default train_freq=1: one gradient step per lockstep env step
         env_steps_per_iter = cfg.offpolicy_steps_per_iter
+        demo_fn = None
+        if cfg.demo_warmup_steps:
+            from torchdriveenv_tpu.rl.demo import make_scripted_driver
+            demo_fn = make_scripted_driver(env_cfg, train_assets)
         init_fn, train_fn = make_offpolicy_train_fns(
             env_cfg, agent, num_envs,
             buffer_capacity=max(agent.cfg.buffer_size // num_envs, 256),
             steps_per_iter=env_steps_per_iter,
-            updates_per_iter=cfg.offpolicy_updates_per_iter)
+            updates_per_iter=cfg.offpolicy_updates_per_iter,
+            demo_fn=demo_fn, demo_steps=cfg.demo_warmup_steps)
         steps_per_iter = env_steps_per_iter * num_envs
 
     carry = jax.jit(init_fn)(train_assets, jax.random.PRNGKey(
@@ -367,7 +372,9 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
             record_video(env_steps, kv, carry.agent_state)
         if env_steps >= next_model:
             next_model = env_steps + model_save_every
-            save_model(ckpt_dir, 0, carry.agent_state)   # rolling "model_0"
+            # named per-step model saves (few MB each) — the reference's
+            # wandb model_save_freq keeps every save too (rl_training.py:210)
+            save_model(ckpt_dir, env_steps, carry.agent_state)
         if env_steps >= next_snapshot:
             next_snapshot = env_steps + snapshot_every
             save_model(ckpt_dir, env_steps, carry.agent_state)
