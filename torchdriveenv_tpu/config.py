@@ -150,6 +150,10 @@ class RlTrainingConfig:
     # the 200-step horizon (gradient updates run as usual from
     # learning_starts). 0 (default) = off, matching SB3's random warmup.
     demo_warmup_steps: int = 0
+    # persistent expert envs: keep the FIRST K envs scripted for the whole
+    # run — a steady stream of horizon-reaching demonstration trajectories
+    # in the replay buffer alongside the policy's own experience.
+    demo_envs: int = 0
     # full-carry snapshot cadence (params+opt+replay buffer+env states) in
     # env steps. >0: periodic snapshots plus one at end of run; 0 (default):
     # end-of-run `full_latest` only — --resume_from always has something to

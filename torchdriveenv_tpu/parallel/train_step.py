@@ -38,7 +38,8 @@ def make_offpolicy_train_fns(env_cfg: EnvConfig, agent, num_envs: int,
                              steps_per_iter: int = 1,
                              updates_per_iter: int = 1,
                              mesh=None,
-                             demo_fn=None, demo_steps: int = 0):
+                             demo_fn=None, demo_steps: int = 0,
+                             demo_envs: int = 0):
     """Build (init_fn, train_step_fn) for SAC/TD3.
 
     init_fn(assets, key) -> OffPolicyCarry
@@ -59,7 +60,9 @@ def make_offpolicy_train_fns(env_cfg: EnvConfig, agent, num_envs: int,
     total env steps < `demo_steps`, actions come from it instead of the
     policy, seeding the buffer with demonstration transitions (gradient
     updates still start at learning_starts — off-policy SAC learns from the
-    demo data as it streams in).
+    demo data as it streams in). `demo_envs` additionally keeps the FIRST
+    K envs scripted for the whole run (persistent expert envs: a steady
+    stream of horizon-reaching trajectories in the buffer).
     """
     fs = env_cfg.frame_stack
     res = env_cfg.simulator.renderer.obs_res
@@ -92,9 +95,11 @@ def make_offpolicy_train_fns(env_cfg: EnvConfig, agent, num_envs: int,
             if demo_fn is not None:
                 from torchdriveenv_tpu.models.policies import unscale_action
                 demo_phase = carry.env_steps < demo_steps
+                demo_mask = demo_phase | (
+                    jnp.arange(a.shape[0]) < demo_envs)
                 a_demo = jnp.clip(unscale_action(demo_fn(rs.env_state)),
                                   -1.0, 1.0)
-                a = jnp.where(demo_phase, a_demo, a)
+                a = jnp.where(demo_mask[:, None], a_demo, a)
             out = step_fn(rs.env_state, scale_action(a))
             done = out.terminated | out.truncated
             cur_frame = rs.obs_stack[:, -3:]

@@ -216,7 +216,7 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
         # SB3 default train_freq=1: one gradient step per lockstep env step
         env_steps_per_iter = cfg.offpolicy_steps_per_iter
         demo_fn = None
-        if cfg.demo_warmup_steps:
+        if cfg.demo_warmup_steps or cfg.demo_envs:
             from torchdriveenv_tpu.rl.demo import make_scripted_driver
             demo_fn = make_scripted_driver(env_cfg, train_assets)
         init_fn, train_fn = make_offpolicy_train_fns(
@@ -224,7 +224,8 @@ def train(cfg: RlTrainingConfig, resume_from: Optional[str] = None,
             buffer_capacity=max(agent.cfg.buffer_size // num_envs, 256),
             steps_per_iter=env_steps_per_iter,
             updates_per_iter=cfg.offpolicy_updates_per_iter,
-            demo_fn=demo_fn, demo_steps=cfg.demo_warmup_steps)
+            demo_fn=demo_fn, demo_steps=cfg.demo_warmup_steps,
+            demo_envs=cfg.demo_envs)
         steps_per_iter = env_steps_per_iter * num_envs
 
     carry = jax.jit(init_fn)(train_assets, jax.random.PRNGKey(
