@@ -412,6 +412,25 @@ class TestDemoWarmup:
 
 
 class TestLearners:
+    def test_sac_actor_delay(self):
+        """actor_delay_updates: critic trains from step 0, actor/alpha
+        updates apply only once state.step reaches the delay."""
+        sac = SAC(SACConfig(batch_size=8, actor_delay_updates=2))
+        st = sac.init(K(0), obs_res=16)
+        batch = _tiny_batch()
+        a0 = jax.tree.leaves(st.actor_params)[0].copy()
+        c0 = jax.tree.leaves(st.critic_params)[0].copy()
+        upd = jax.jit(sac.update)
+        st, _ = upd(st, batch, K(1))                      # step 0: delayed
+        st, _ = upd(st, batch, K(2))                      # step 1: delayed
+        assert np.allclose(np.asarray(a0),
+                           np.asarray(jax.tree.leaves(st.actor_params)[0]))
+        assert not np.allclose(np.asarray(c0),
+                               np.asarray(jax.tree.leaves(st.critic_params)[0]))
+        st, _ = upd(st, batch, K(3))                      # step 2: applies
+        assert not np.allclose(np.asarray(a0),
+                               np.asarray(jax.tree.leaves(st.actor_params)[0]))
+
     def test_sac_update_moves_params(self):
         sac = SAC(SACConfig(batch_size=8))
         st = sac.init(K(0), obs_res=16)

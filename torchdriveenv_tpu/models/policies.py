@@ -30,8 +30,14 @@ LOG_STD_MIN, LOG_STD_MAX = -20.0, 2.0
 
 
 def scale_action(tanh_a: jnp.ndarray) -> jnp.ndarray:
-    """(-1,1)^2 -> env action box."""
-    return ACTION_LOW + (tanh_a + 1.0) * 0.5 * (ACTION_HIGH - ACTION_LOW)
+    """(-1,1)^2 -> env action box.
+
+    Clips to the box first: Gaussian policies (PPO/A2C) hand over RAW
+    samples — SB3 clips exactly here, at the env boundary, while the
+    rollout buffer keeps the unclipped sample (on_policy_algorithm
+    collect_rollouts). No-op for tanh-squashed (SAC/TD3) actions."""
+    a = jnp.clip(tanh_a, -1.0, 1.0)
+    return ACTION_LOW + (a + 1.0) * 0.5 * (ACTION_HIGH - ACTION_LOW)
 
 
 def unscale_action(a: jnp.ndarray) -> jnp.ndarray:

@@ -103,8 +103,11 @@ def make_offpolicy_train_fns(env_cfg: EnvConfig, agent, num_envs: int,
             out = step_fn(rs.env_state, scale_action(a))
             done = out.terminated | out.truncated
             cur_frame = rs.obs_stack[:, -3:]
+            dm = None
+            if demo_fn is not None:
+                dm = demo_mask
             buf = replay.add(buf, cur_frame, a, out.reward, done,
-                             out.terminated, out.final_obs)
+                             out.terminated, out.final_obs, demo_mask=dm)
             stack = update_stack(rs.obs_stack, out.obs, done)
             return (RolloutState(out.state, stack, k_next), buf), out.reward
 

@@ -63,12 +63,14 @@ class A2C:
 
     def select_action(self, state: A2CState, obs: jnp.ndarray,
                       key: jnp.ndarray, deterministic: bool = False):
+        """Raw (unclipped) sample, matching SB3's rollout storage — see
+        ppo.PPO.select_action. Env-time clipping lives in scale_action."""
         mu, log_std, value = self.net.apply(state.params, obs)
         if deterministic:
-            return jnp.clip(mu, -1.0, 1.0), jnp.zeros(mu.shape[:-1]), value
+            return mu, jnp.zeros(mu.shape[:-1]), value
         a = mu + jnp.exp(log_std) * jax.random.normal(key, mu.shape)
         logp = gaussian_log_prob(mu, log_std, a)
-        return jnp.clip(a, -1.0, 1.0), logp, value
+        return a, logp, value
 
     def value(self, state: A2CState, obs: jnp.ndarray) -> jnp.ndarray:
         _, _, v = self.net.apply(state.params, obs)

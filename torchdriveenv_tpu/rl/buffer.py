@@ -59,6 +59,9 @@ class ReplayBuffer:
     term_frames: jnp.ndarray  # (E, K, C, H, W) uint8 truncation-obs side ring
     term_slot: jnp.ndarray   # (E, N) int32 side-ring slot for this cell
     term_ptr: jnp.ndarray    # (E,) int32 next free side-ring slot
+    is_demo: jnp.ndarray     # (E, N) bool — action came from the scripted
+    #                          demonstration driver (rl/demo.py); lets the
+    #                          SAC actor apply a BC term on demo samples only
     pos: jnp.ndarray         # () int32 next write index
     filled: jnp.ndarray      # () int32 number of valid cells per env
     cur_ep_start: jnp.ndarray  # (E,) int32 ring index of the running episode start
@@ -79,6 +82,7 @@ def create(num_envs: int, capacity: int, obs_shape: Tuple[int, int, int],
         term_frames=jnp.zeros((e, k, c, h, w), jnp.uint8),
         term_slot=jnp.zeros((e, n), jnp.int32),
         term_ptr=jnp.zeros((e,), jnp.int32),
+        is_demo=jnp.zeros((e, n), bool),
         pos=jnp.zeros((), jnp.int32),
         filled=jnp.zeros((), jnp.int32),
         cur_ep_start=jnp.zeros((e,), jnp.int32),
@@ -87,7 +91,8 @@ def create(num_envs: int, capacity: int, obs_shape: Tuple[int, int, int],
 
 def add(buf: ReplayBuffer, frame: jnp.ndarray, action: jnp.ndarray,
         reward: jnp.ndarray, done: jnp.ndarray, terminal: jnp.ndarray,
-        final_frame: jnp.ndarray) -> ReplayBuffer:
+        final_frame: jnp.ndarray, demo_mask: jnp.ndarray = None
+        ) -> ReplayBuffer:
     """Append one transition per env.
 
     frame: (E, C, H, W) the obs the action was computed FROM; reward/done
@@ -114,6 +119,8 @@ def add(buf: ReplayBuffer, frame: jnp.ndarray, action: jnp.ndarray,
         term_frames=buf.term_frames.at[env_ids, slot].set(final_frame),
         term_slot=buf.term_slot.at[:, i].set(slot),
         term_ptr=buf.term_ptr + trunc_only.astype(jnp.int32),
+        is_demo=buf.is_demo.at[:, i].set(
+            jnp.zeros((e,), bool) if demo_mask is None else demo_mask),
         pos=buf.pos + 1,
         filled=jnp.minimum(buf.filled + 1, n),
         cur_ep_start=jnp.where(done, (i + 1) % n, buf.cur_ep_start),
@@ -180,4 +187,5 @@ def sample(buf: ReplayBuffer, key: jnp.ndarray, batch_size: int,
         next_obs=next_obs,
         discount_mask=1.0 - terminal.astype(jnp.float32),
         done=done,
+        is_demo=buf.is_demo[env_idx, idx],
     )

@@ -103,15 +103,21 @@ class PPO:
 
     def select_action(self, state: PPOState, obs: jnp.ndarray,
                       key: jnp.ndarray, deterministic: bool = False):
-        """Returns (normalized action clipped to (-1,1), log_prob, value)."""
+        """Returns (RAW normalized action sample, log_prob, value).
+
+        SB3 stores the unclipped Gaussian sample in the rollout buffer and
+        clips only the copy sent to the env (on_policy_algorithm
+        collect_rollouts) — storing the clipped action instead makes the
+        recomputed log-prob at update time disagree with the sampled one
+        for boundary samples, corrupting the PPO ratio (and exploding
+        A2C's unclipped objective). Env-time clipping lives in
+        scale_action."""
         mu, log_std, value = self.net.apply(state.params, obs)
         if deterministic:
-            return jnp.clip(mu, -1.0, 1.0), jnp.zeros(mu.shape[:-1]), value
+            return mu, jnp.zeros(mu.shape[:-1]), value
         a = mu + jnp.exp(log_std) * jax.random.normal(key, mu.shape)
         logp = gaussian_log_prob(mu, log_std, a)
-        # SB3 clips the Gaussian sample to the box at env time; log_prob is of
-        # the unclipped sample (same behavior)
-        return jnp.clip(a, -1.0, 1.0), logp, value
+        return a, logp, value
 
     def value(self, state: PPOState, obs: jnp.ndarray) -> jnp.ndarray:
         _, _, v = self.net.apply(state.params, obs)

@@ -41,6 +41,18 @@ class SACConfig:
     learning_starts: int = 100      # SB3 default (sb3 off_policy_algorithm)
     target_entropy: float = -2.0    # -action_dim (SB3 "auto")
     init_alpha: float = 1.0
+    # critic warmup for warm-started actors (BC/fine-tune): actor and
+    # temperature updates are APPLIED only from this gradient step on —
+    # a fresh critic's early gradients would otherwise walk a cloned
+    # policy out of its basin before the critic learns its value.
+    # 0 (default) = SB3 behavior (actor updates from the start).
+    actor_delay_updates: int = 0
+    # demonstration regularization (SACfD-style): adds
+    # bc_coef * is_demo * ||tanh(mu) - a_demo||^2 to the actor loss, pulling
+    # the policy toward the scripted driver's actions ON DEMO SAMPLES while
+    # the Q term optimizes reward everywhere else. Requires demo-flagged
+    # transitions in the buffer (demo_envs / demo_warmup_steps).
+    bc_coef: float = 0.0
 
 
 def alpha_loss_sb3(log_alpha: jnp.ndarray, logp_mean: jnp.ndarray,
@@ -131,6 +143,11 @@ class SAC:
             q1, q2 = self.critic.apply(state.critic_params, batch["obs"], a)
             q = jnp.minimum(q1, q2)
             loss = (alpha * logp - q).mean()
+            if cfg.bc_coef:
+                demo = batch["is_demo"].astype(jnp.float32)
+                bc = (demo * ((jnp.tanh(mu) - batch["action"]) ** 2
+                              ).sum(-1)).mean()
+                loss = loss + cfg.bc_coef * bc
             return loss, logp.mean()
 
         (actor_loss, logp_mean), actor_grads = jax.value_and_grad(
@@ -152,11 +169,27 @@ class SAC:
             lambda t, o: t * (1.0 - cfg.tau) + o * cfg.tau,
             state.target_critic_params, new_critic)
 
+        new_actor = optax.apply_updates(state.actor_params, a_up)
+        new_log_alpha = optax.apply_updates(state.log_alpha, al_up)
+        if cfg.actor_delay_updates:
+            # compute-always / apply-conditionally keeps the program static
+            apply = state.step >= cfg.actor_delay_updates
+            new_actor = jax.tree.map(
+                lambda n, o: jnp.where(apply, n, o),
+                new_actor, state.actor_params)
+            new_log_alpha = jnp.where(apply, new_log_alpha, state.log_alpha)
+            actor_opt = jax.tree.map(
+                lambda n, o: jnp.where(apply, n, o) if hasattr(n, "shape")
+                else n, actor_opt, state.actor_opt)
+            alpha_opt = jax.tree.map(
+                lambda n, o: jnp.where(apply, n, o) if hasattr(n, "shape")
+                else n, alpha_opt, state.alpha_opt)
+
         new_state = state.replace(
-            actor_params=optax.apply_updates(state.actor_params, a_up),
+            actor_params=new_actor,
             critic_params=new_critic,
             target_critic_params=new_target,
-            log_alpha=optax.apply_updates(state.log_alpha, al_up),
+            log_alpha=new_log_alpha,
             actor_opt=actor_opt, critic_opt=critic_opt, alpha_opt=alpha_opt,
             step=state.step + 1,
         )
