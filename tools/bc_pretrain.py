@@ -94,6 +94,9 @@ def main():
 
     def bc_loss(params, obs, a):
         mu, log_std = agent.actor.apply(params, obs)
+        # clip targets inside the open interval: the demo driver saturates
+        # accel at exactly +-1 and mse(tanh(mu), +-1) drives mu -> inf
+        a = jnp.clip(a, -0.98, 0.98)
         act_mse = ((jnp.tanh(mu) - a) ** 2).mean()
         std_pull = ((log_std - BC_LOG_STD) ** 2).mean()
         return act_mse + 0.05 * std_pull, act_mse

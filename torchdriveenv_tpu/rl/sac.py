@@ -47,6 +47,12 @@ class SACConfig:
     # policy out of its basin before the critic learns its value.
     # 0 (default) = SB3 behavior (actor updates from the start).
     actor_delay_updates: int = 0
+    # fixed entropy temperature (SB3's ent_coef=<float> mode): disables
+    # auto-tuning. A BC-regularized near-deterministic policy can sit just
+    # below the entropy target forever, ratcheting the auto-tuned alpha up
+    # until it poisons the critic targets (observed: alpha 0.016 -> 22,
+    # Q -> -13k). None (default) = SB3 "auto".
+    fixed_alpha: float = None
     # demonstration regularization (SACfD-style): adds
     # bc_coef * is_demo * ||tanh(mu) - a_demo||^2 to the actor loss, pulling
     # the policy toward the scripted driver's actions ON DEMO SAMPLES while
@@ -118,7 +124,9 @@ class SAC:
                key: jnp.ndarray) -> Tuple[SACState, Dict[str, jnp.ndarray]]:
         cfg = self.cfg
         k_next, k_pi = jax.random.split(key)
-        alpha = jnp.exp(state.log_alpha)
+        alpha = (jnp.asarray(cfg.fixed_alpha)
+                 if cfg.fixed_alpha is not None
+                 else jnp.exp(state.log_alpha))
 
         # --- critic target
         mu_n, std_n = self.actor.apply(state.actor_params, batch["next_obs"])
@@ -145,8 +153,13 @@ class SAC:
             loss = (alpha * logp - q).mean()
             if cfg.bc_coef:
                 demo = batch["is_demo"].astype(jnp.float32)
-                bc = (demo * ((jnp.tanh(mu) - batch["action"]) ** 2
-                              ).sum(-1)).mean()
+                # clip targets inside the open interval: the scripted
+                # driver saturates accel at EXACTLY +-1, and
+                # mse(tanh(mu), +-1) drives mu -> inf (observed actor
+                # blow-up + entropy collapse to the log-std floor,
+                # artifacts/sac_bcreg_diverge2_r5.jsonl)
+                tgt = jnp.clip(batch["action"], -0.98, 0.98)
+                bc = (demo * ((jnp.tanh(mu) - tgt) ** 2).sum(-1)).mean()
                 loss = loss + cfg.bc_coef * bc
             return loss, logp.mean()
 
@@ -170,7 +183,8 @@ class SAC:
             state.target_critic_params, new_critic)
 
         new_actor = optax.apply_updates(state.actor_params, a_up)
-        new_log_alpha = optax.apply_updates(state.log_alpha, al_up)
+        new_log_alpha = (state.log_alpha if cfg.fixed_alpha is not None
+                         else optax.apply_updates(state.log_alpha, al_up))
         if cfg.actor_delay_updates:
             # compute-always / apply-conditionally keeps the program static
             apply = state.step >= cfg.actor_delay_updates
