@@ -113,14 +113,24 @@ def default_params():
     if _DEFAULT_PARAMS is None:
         import os
 
+        import numpy as _np
         from flax import serialization
 
-        template = init_params(jax.random.PRNGKey(0))
+        # make_env_fns may run inside a jit trace (the training init_fn).
+        # Build the template entirely HOST-SIDE (eval_shape + numpy): a
+        # nested flax init would return tracers under the outer trace and
+        # caching them globally crashes the next jit (observed the first
+        # time a TRAINING run used npc_mode=policy).
+        shapes = jax.eval_shape(lambda: init_params(jax.random.PRNGKey(0)))
+        rng = _np.random.default_rng(0)
+        template = jax.tree.map(
+            lambda s: (0.1 * rng.standard_normal(s.shape)).astype(s.dtype),
+            shapes)
         path = params_path()
         if os.path.exists(path):
             with open(path, "rb") as f:
                 template = serialization.from_bytes(template, f.read())
-        _DEFAULT_PARAMS = jax.tree.map(jnp.asarray, template)
+        _DEFAULT_PARAMS = jax.tree.map(_np.asarray, template)
     return _DEFAULT_PARAMS
 
 
