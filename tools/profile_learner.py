@@ -136,7 +136,9 @@ def main():
         return jax.lax.scan(one, state, keys)
 
     learn_j = jax.jit(learn_phase)
-    t_learn = _timed(lambda: learn_j(state, buf, key)[1], iters=4)
+    # block on the FULL output (state + losses): timing only the loss
+    # element under-measures on this backend
+    t_learn = _timed(lambda: learn_j(state, buf, key), iters=4)
     report["learn_phase"] = {
         "updates_per_iter": args.updates_per_iter, "batch_size": b,
         "ms": t_learn * 1e3,
